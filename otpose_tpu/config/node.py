@@ -36,7 +36,10 @@ class CfgNode(dict):
         raise AttributeError(f"Config has no key '{name}'")
 
     def __setattr__(self, name: str, value: Any) -> None:
-        self[name] = _cfg_from_value(value)
+        self[name] = value
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        super().__setitem__(key, _cfg_from_value(value))
 
     def is_new_allowed(self) -> bool:
         return object.__getattribute__(self, _NEW_ALLOWED)

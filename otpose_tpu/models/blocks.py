@@ -1,0 +1,158 @@
+"""Conv-transformer building blocks.
+
+Replicates the reference block semantics exactly (ref: model/blocks.py).
+A deliberate behavioral quirk of the reference is preserved because trained
+checkpoints depend on it: ``MaskedMHCA`` reshapes q/k/v to (B, nh, hs, T)
+WITHOUT transposing (ref: blocks.py:427-429), so the attention matrix is
+(hs x hs) over the per-head *channel* axis rather than (T x T) over tokens,
+and the output reshape (ref: blocks.py:447) interleaves (T, hs) when mapping
+back to (B, C, T).  This makes the attention cost O(hs^2 * T) — tiny on TPU —
+while the surrounding depthwise convs carry the sequence mixing.
+
+Activations here are (B, T, C); 1x1 convs are dense matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from otpose_tpu.models import core
+from otpose_tpu.models.core import Ctx, gelu, max_pool1d
+
+
+def get_sinusoid_encoding(n_position: int, d_hid: int) -> np.ndarray:
+    """Sinusoid PE table, returned as (1, T, C) (ref: blocks.py:114-125,
+    which returns the torch layout (1, C, T))."""
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    j = np.arange(d_hid, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000, 2 * (j // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table.astype(np.float32)[None]
+
+
+def _dense_1x1(ctx: Ctx, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv1d == dense over channels. Kernel stored (1, C_in, C_out)."""
+    w = ctx.param(f"{name}.weight")[0]
+    y = jnp.einsum("btc,cd->btd", x.astype(ctx.compute_dtype), w.astype(ctx.compute_dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=core._mxu_precision(ctx.compute_dtype)).astype(x.dtype)
+    b = ctx.params.get(ctx._key(f"{name}.bias"))
+    return y + b if b is not None else y
+
+
+def masked_mhca(ctx: Ctx, x: jnp.ndarray, n_head: int, stride: int = 1,
+                attn_pdrop: float = 0.0, proj_pdrop: float = 0.0) -> jnp.ndarray:
+    """Multi-head conv 'attention' (ref: blocks.py:319-453). x: (B, T, C)."""
+    b, t, c = x.shape
+    hs = c // n_head
+    scale = 1.0 / np.sqrt(hs)
+
+    # depthwise convs (k=3, stride s, pad 1) + channel LN
+    q = ctx.conv1d("query_conv", x, stride=stride, padding=1, groups=c)
+    q = ctx.layer_norm_c("query_norm", q)
+    k = ctx.conv1d("key_conv", x, stride=stride, padding=1, groups=c)
+    k = ctx.layer_norm_c("key_norm", k)
+    v = ctx.conv1d("value_conv", x, stride=stride, padding=1, groups=c)
+    v = ctx.layer_norm_c("value_norm", v)
+
+    # 1x1 projections
+    q = _dense_1x1(ctx, "query", q)
+    k = _dense_1x1(ctx, "key", k)
+    v = _dense_1x1(ctx, "value", v)
+
+    tq = q.shape[1]
+    # (B, T', C) -> (B, nh, hs, T')  [the reference's non-transposed view]
+    qh = q.transpose(0, 2, 1).reshape(b, n_head, hs, tq)
+    kh = k.transpose(0, 2, 1).reshape(b, n_head, hs, tq)
+    vh = v.transpose(0, 2, 1).reshape(b, n_head, hs, tq)
+
+    att = jnp.einsum("bhct,bhdt->bhcd", qh * scale, kh,
+                     preferred_element_type=jnp.float32,
+                     precision=core._mxu_precision(ctx.compute_dtype))
+    att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
+    att = att / jnp.sum(att, axis=-1, keepdims=True)
+    att = ctx.dropout(att.astype(x.dtype), attn_pdrop)
+    out = jnp.einsum("bhcd,bhdt->bhct", att, vh,
+                     preferred_element_type=jnp.float32,
+                     precision=core._mxu_precision(ctx.compute_dtype)).astype(x.dtype)
+
+    # the reference's scrambled re-assembly: (B, nh, hs, T') -transpose->
+    # (B, nh, T', hs) -row-major view-> (B, C, T') (ref: blocks.py:447)
+    out = out.transpose(0, 1, 3, 2).reshape(b, c, tq)
+    out = out.transpose(0, 2, 1)  # back to (B, T', C)
+
+    out = _dense_1x1(ctx, "proj", out)
+    return ctx.dropout(out, proj_pdrop)
+
+
+def affine_drop_path(ctx: Ctx, name: str, x: jnp.ndarray, drop_prob: float) -> jnp.ndarray:
+    """Per-channel scale (init 1e-4) + stochastic depth (ref: blocks.py:283-298).
+    When the block was built with path_pdrop=0 the scale param is absent
+    (torch nn.Identity) and this is a no-op."""
+    if not ctx.has(f"{name}.scale"):
+        return x
+    scale = ctx.param(f"{name}.scale")
+    return ctx.drop_path(x * scale, drop_prob)
+
+
+def transformer_block(ctx: Ctx, x: jnp.ndarray, n_head: int, *,
+                      ds_stride: int = 1, attn_pdrop: float = 0.0,
+                      proj_pdrop: float = 0.0, path_pdrop: float = 0.0) -> jnp.ndarray:
+    """Pre-LN transformer block with conv attention (ref: blocks.py:185-280).
+
+    x: (B, T, C) -> (B, T/ds_stride, C).
+    """
+    out = masked_mhca(ctx.sub("attn"), ctx.layer_norm_c("ln1", x), n_head,
+                      stride=ds_stride, attn_pdrop=attn_pdrop, proj_pdrop=proj_pdrop)
+    if ds_stride > 1:
+        skip = max_pool1d(x, kernel=ds_stride + 1, stride=ds_stride,
+                          padding=(ds_stride + 1) // 2)
+    else:
+        skip = x
+    out = skip + affine_drop_path(ctx, "drop_path_attn", out, path_pdrop)
+
+    # conv-MLP: dense C->4C, GELU, dropout, dense 4C->C, dropout
+    h = ctx.layer_norm_c("ln2", out)
+    h = _dense_1x1(ctx, "mlp.0", h)
+    h = ctx.dropout(gelu(h), proj_pdrop)
+    h = _dense_1x1(ctx, "mlp.3", h)
+    h = ctx.dropout(h, proj_pdrop)
+    out = out + affine_drop_path(ctx, "drop_path_mlp", h, path_pdrop)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _add_ln(params, key: str, ch: int):
+    params[f"{key}.weight"] = jnp.ones((ch,))
+    params[f"{key}.bias"] = jnp.zeros((ch,))
+
+
+def init_transformer_block(params, kg: core.KeyGen, prefix: str, n_embd: int,
+                           path_pdrop: float = 0.0):
+    """Parameters for one TransformerBlock; torch-default conv1d init with
+    bias zeroed where the reference zeroes it (ref: ConvVideoTransformer.py:116-120)."""
+    p = prefix
+    _add_ln(params, f"{p}.ln1", n_embd)
+    _add_ln(params, f"{p}.ln2", n_embd)
+    a = f"{p}.attn"
+    for name in ("query_conv", "key_conv", "value_conv"):
+        params[f"{a}.{name}.weight"] = core.kaiming_uniform_conv(kg(), (3, 1, n_embd))
+    for name in ("query_norm", "key_norm", "value_norm"):
+        _add_ln(params, f"{a}.{name}", n_embd)
+    for name in ("query", "key", "value", "proj"):
+        params[f"{a}.{name}.weight"] = core.kaiming_uniform_conv(kg(), (1, n_embd, n_embd))
+        params[f"{a}.{name}.bias"] = jnp.zeros((n_embd,))
+    params[f"{p}.mlp.0.weight"] = core.kaiming_uniform_conv(kg(), (1, n_embd, 4 * n_embd))
+    params[f"{p}.mlp.0.bias"] = jnp.zeros((4 * n_embd,))
+    params[f"{p}.mlp.3.weight"] = core.kaiming_uniform_conv(kg(), (1, 4 * n_embd, n_embd))
+    params[f"{p}.mlp.3.bias"] = jnp.zeros((n_embd,))
+    if path_pdrop > 0.0:
+        params[f"{p}.drop_path_attn.scale"] = 1e-4 * jnp.ones((n_embd,))
+        params[f"{p}.drop_path_mlp.scale"] = 1e-4 * jnp.ones((n_embd,))

@@ -1,0 +1,112 @@
+"""ConvTransformer: 1-D conv-transformer over the flattened heatmap grid.
+
+ref: model/ConvVideoTransformer.py:16-185.  The sequence is the row-major
+flattened (H, W) grid (T = H*W = 6912 for 96x72 heatmaps).  Architecture is
+(#embedding convs, #stem blocks, #branch blocks); each branch block halves T
+(strided depthwise q/kv convs + maxpool skip) and its output is linearly
+upsampled back to T.  Absolute sinusoid PE scaled by 1/sqrt(C) is added once
+(re-interpolated at inference for over-length sequences).
+
+Our layout: feature maps are NHWC, tokens are (B, T, C).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax.numpy as jnp
+
+from otpose_tpu.models import blocks, core
+from otpose_tpu.models.core import Ctx
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvTransformerSpec:
+    n_in: int
+    n_embd: int
+    n_head: int
+    n_embd_ks: int
+    max_len: int
+    arch: Tuple[int, int, int]
+    scale_factor: int = 2
+    with_ln: bool = True
+    attn_pdrop: float = 0.0
+    proj_pdrop: float = 0.0
+    path_pdrop: float = 0.0
+    use_abs_pe: bool = True
+
+    @property
+    def num_outputs(self) -> int:
+        return 1 + self.arch[2]
+
+
+def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
+                             spec: ConvTransformerSpec) -> List[jnp.ndarray]:
+    """x: (B, H, W, C_in) feature map -> list of (B, T, C) token maps
+    (1 stem output + arch[2] upsampled branch outputs)
+    (ref: ConvVideoTransformer.py:123-185)."""
+    b, h, w, _ = x.shape
+    t = h * w
+
+    # embedding convs (2-D conv + channel LN + relu); arch[0] == 0 for OTPose
+    for i in range(spec.arch[0]):
+        x = ctx.conv2d(f"embd.{i}", x, padding=spec.n_embd_ks // 2,
+                       bias=not spec.with_ln)
+        tokens = x.reshape(b, t, -1)
+        if spec.with_ln:
+            tokens = ctx.layer_norm_c(f"embd_norm.{i}", tokens)
+        x = core.relu(tokens).reshape(b, h, w, -1)
+
+    tokens = x.reshape(b, t, spec.n_embd)
+
+    if spec.use_abs_pe:
+        pe = ctx.state[ctx._key("pos_embd")]  # (1, max_len, C)
+        if ctx.train:
+            assert t <= spec.max_len, "Reached max length."
+            tokens = tokens + pe[:, :t]
+        else:
+            if t >= spec.max_len:
+                pe = core.interpolate_linear_to(pe, t)
+            tokens = tokens + pe[:, :t]
+
+    for i in range(spec.arch[1]):
+        tokens = blocks.transformer_block(
+            ctx.sub(f"stem.{i}"), tokens, spec.n_head,
+            attn_pdrop=spec.attn_pdrop, proj_pdrop=spec.proj_pdrop,
+            path_pdrop=spec.path_pdrop)
+
+    out_feats = [tokens]
+    for i in range(spec.arch[2]):
+        tokens = blocks.transformer_block(
+            ctx.sub(f"branch.{i}"), tokens, spec.n_head,
+            ds_stride=spec.scale_factor,
+            attn_pdrop=spec.attn_pdrop, proj_pdrop=spec.proj_pdrop,
+            path_pdrop=spec.path_pdrop)
+        out_feats.append(core.upsample_linear_1d(tokens, t))
+    return out_feats
+
+
+def init_conv_transformer(key, spec: ConvTransformerSpec):
+    """Fresh params/state (PE buffer) for a ConvTransformer."""
+    kg = core.KeyGen(key)
+    params: dict = {}
+    state: dict = {}
+    if spec.use_abs_pe:
+        pe = blocks.get_sinusoid_encoding(spec.max_len, spec.n_embd) / (spec.n_embd ** 0.5)
+        state["pos_embd"] = jnp.asarray(pe)
+    for i in range(spec.arch[0]):
+        cin = spec.n_in if i == 0 else spec.n_embd
+        k = spec.n_embd_ks
+        params[f"embd.{i}.weight"] = core.normal_init(kg(), (k, k, cin, spec.n_embd))
+        if not spec.with_ln:
+            params[f"embd.{i}.bias"] = jnp.zeros((spec.n_embd,))
+        if spec.with_ln:
+            blocks._add_ln(params, f"embd_norm.{i}", spec.n_embd)
+    for i in range(spec.arch[1]):
+        blocks.init_transformer_block(params, kg, f"stem.{i}", spec.n_embd,
+                                      spec.path_pdrop)
+    for i in range(spec.arch[2]):
+        blocks.init_transformer_block(params, kg, f"branch.{i}", spec.n_embd,
+                                      spec.path_pdrop)
+    return params, state

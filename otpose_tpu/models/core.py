@@ -1,0 +1,314 @@
+"""Functional NN core.
+
+Models in this framework are pure functions over flat parameter dicts whose
+keys mirror the reference torch ``state_dict`` names (e.g.
+``"stage2.0.branches.0.1.conv1.weight"``) so checkpoints convert 1:1
+(ref: model/checkpoints.py, model/OTPose.py:477-496).  Conv kernels are
+stored TPU-native as HWIO (2-D) / WIO (1-D); the torch importer transposes
+from OIHW once at load time.
+
+``Ctx`` threads params / batch-norm state / rng / train flag / compute dtype
+through a forward pass and collects updated running stats, keeping model code
+close to the math while staying jit-friendly (Ctx only exists at trace time).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+BN_MOMENTUM = 0.1  # torch semantics: running = (1-m)*running + m*batch
+BN_EPS = 1e-5
+LN_EPS = 1e-5
+
+
+class Ctx:
+    """Scoped view over flat param/state dicts for one forward pass."""
+
+    def __init__(self, params: Params, state: Params, *, train: bool = False,
+                 rng: Optional[jax.Array] = None,
+                 compute_dtype: jnp.dtype = jnp.float32,
+                 sync_axis: Optional[str] = None,
+                 prefix: str = "", root: Optional["Ctx"] = None):
+        self.params = params
+        self.state = state
+        self.train = train
+        self.compute_dtype = compute_dtype
+        self.sync_axis = sync_axis
+        self._prefix = prefix
+        if root is None:
+            self.new_state: Params = {}
+            self._rng = rng
+            self._rng_count = [0]
+            self._root = self
+        else:
+            self._root = root
+
+    # -- scoping -----------------------------------------------------------
+    def sub(self, name: str) -> "Ctx":
+        child = Ctx.__new__(Ctx)
+        child.params = self.params
+        child.state = self.state
+        child.train = self.train
+        child.compute_dtype = self.compute_dtype
+        child.sync_axis = self.sync_axis
+        child._prefix = self._key(name) + "."
+        child._root = self._root
+        return child
+
+    def _key(self, name: str) -> str:
+        return self._prefix + name
+
+    def param(self, name: str) -> jnp.ndarray:
+        return self.params[self._key(name)]
+
+    def has(self, name: str) -> bool:
+        return self._key(name) in self.params
+
+    def next_rng(self) -> jax.Array:
+        root = self._root
+        if root._rng is None:
+            raise ValueError("Ctx has no rng but a stochastic layer was called in train mode")
+        key = jax.random.fold_in(root._rng, root._rng_count[0])
+        root._rng_count[0] += 1
+        return key
+
+    # -- layers ------------------------------------------------------------
+    def conv2d(self, name: str, x: jnp.ndarray, *, stride: int = 1, padding: int = 0,
+               dilation: int = 1, groups: int = 1, bias: Optional[bool] = None) -> jnp.ndarray:
+        w = self.param(f"{name}.weight")
+        b = self.params.get(self._key(f"{name}.bias")) if bias is not False else None
+        return conv2d(x, w, b, stride=stride, padding=padding, dilation=dilation,
+                      groups=groups, compute_dtype=self.compute_dtype)
+
+    def conv1d(self, name: str, x: jnp.ndarray, *, stride: int = 1, padding: int = 0,
+               groups: int = 1) -> jnp.ndarray:
+        w = self.param(f"{name}.weight")
+        b = self.params.get(self._key(f"{name}.bias"))
+        return conv1d(x, w, b, stride=stride, padding=padding, groups=groups,
+                      compute_dtype=self.compute_dtype)
+
+    def batch_norm(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        key = self._key(name)
+        y, new_mean, new_var = batch_norm(
+            x,
+            self.param(f"{name}.weight"),
+            self.param(f"{name}.bias"),
+            self.state[f"{key}.running_mean"],
+            self.state[f"{key}.running_var"],
+            train=self.train,
+            sync_axis=self.sync_axis,
+        )
+        if self.train:
+            self._root.new_state[f"{key}.running_mean"] = new_mean
+            self._root.new_state[f"{key}.running_var"] = new_var
+        return y
+
+    def layer_norm_c(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        """Channel LayerNorm over the last axis of (B, T, C) (ref: blocks.py:67-110)."""
+        return layer_norm_c(x, self.param(f"{name}.weight"), self.param(f"{name}.bias"))
+
+    def dropout(self, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+        if not self.train or rate <= 0.0:
+            return x
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(self.next_rng(), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+    def drop_path(self, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+        """Per-sample stochastic depth (ref: blocks.py:303-316)."""
+        if not self.train or rate <= 0.0:
+            return x
+        keep = 1.0 - rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep + jax.random.uniform(self.next_rng(), shape, x.dtype))
+        return x / keep * mask
+
+    def finalize_state(self) -> Params:
+        """Merged state dict after a train-mode pass."""
+        out = dict(self.state)
+        out.update(self._root.new_state)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# primitives (NHWC activations; HWIO / WIO kernels)
+# ---------------------------------------------------------------------------
+
+def _mxu_precision(compute_dtype) -> jax.lax.Precision:
+    """f32 compute requests exact (3-pass) MXU math; bf16 uses the fast path."""
+    return (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None, *,
+           stride: int = 1, padding: int = 0, dilation: int = 1, groups: int = 1,
+           compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """2-D conv on NHWC with HWIO kernel; f32 accumulation on the MXU."""
+    orig_dtype = x.dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        rhs_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
+    ).astype(orig_dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None, *,
+           stride: int = 1, padding: int = 0, groups: int = 1,
+           compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """1-D conv on (B, T, C) with (K, I/groups, O) kernel."""
+    orig_dtype = x.dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        feature_group_count=groups,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
+    ).astype(orig_dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def batch_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+               running_mean: jnp.ndarray, running_var: jnp.ndarray, *,
+               train: bool, momentum: float = BN_MOMENTUM, eps: float = BN_EPS,
+               sync_axis: Optional[str] = None):
+    """Torch-semantics batch norm over the channel (last) axis.
+
+    Training normalizes with biased batch variance and updates running stats
+    with the unbiased variance; eval normalizes with running stats
+    (matches nn.BatchNorm2d(momentum=0.1)).  ``sync_axis`` enables
+    cross-replica statistics via psum (sync-BN over the data mesh axis).
+    """
+    reduce_axes = tuple(range(x.ndim - 1))
+    if train:
+        n = np.prod([x.shape[a] for a in reduce_axes])
+        mean = jnp.mean(x, axis=reduce_axes)
+        mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
+        if sync_axis is not None:
+            mean = jax.lax.pmean(mean, sync_axis)
+            mean_sq = jax.lax.pmean(mean_sq, sync_axis)
+            n = n * jax.lax.psum(1, sync_axis)
+        var = mean_sq - jnp.square(mean)
+        unbiased = var * (n / max(n - 1, 1))
+        new_mean = (1 - momentum) * running_mean + momentum * mean
+        new_var = (1 - momentum) * running_var + momentum * unbiased
+    else:
+        mean, var = running_mean, running_var
+        new_mean, new_var = running_mean, running_var
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * (inv * weight) + bias
+    return y.astype(x.dtype), new_mean, new_var
+
+
+def layer_norm_c(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                 eps: float = LN_EPS) -> jnp.ndarray:
+    """Channel layer norm with biased variance (ref: blocks.py:95-110).
+
+    x: (B, T, C) normalized over C.  weight/bias: (C,).
+    """
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    res = x - mu
+    sigma = jnp.mean(jnp.square(res), axis=-1, keepdims=True)
+    out = res / jnp.sqrt(sigma + eps)
+    return out * weight + bias
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU, matching torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def max_pool1d(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
+    """MaxPool1d on (B, T, C) with -inf padding (torch semantics)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, kernel, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+
+
+def upsample_nearest_2x(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Nearest-neighbor spatial upsampling on NHWC (ref: HRNet.py:574-583)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def upsample_linear_1d(x: jnp.ndarray, out_t: int) -> jnp.ndarray:
+    """nn.Upsample(mode='linear', align_corners=False) on (B, T, C)
+    (ref: ConvVideoTransformer.py:108,179)."""
+    b, t, c = x.shape
+    scale = t / out_t
+    dst = jnp.arange(out_t, dtype=jnp.float32)
+    src = (dst + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, t - 1)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, t - 1)
+    w1 = (src - i0.astype(jnp.float32)).astype(x.dtype)[None, :, None]
+    x0 = jnp.take(x, i0, axis=1)
+    x1 = jnp.take(x, i1, axis=1)
+    return x0 * (1 - w1) + x1 * w1
+
+
+def interpolate_linear_to(x: jnp.ndarray, out_t: int) -> jnp.ndarray:
+    """F.interpolate(mode='linear', align_corners=False) alias."""
+    return upsample_linear_1d(x, out_t)
+
+
+# ---------------------------------------------------------------------------
+# initializers (torch-matching distributions)
+# ---------------------------------------------------------------------------
+
+def normal_init(key, shape, std=0.001, dtype=jnp.float32):
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def kaiming_uniform_conv(key, shape_hwio, a=math.sqrt(5), dtype=jnp.float32):
+    """torch default conv init (kaiming_uniform with a=sqrt(5)) for HWIO/WIO kernels."""
+    fan_in = int(np.prod(shape_hwio[:-1]))  # K... * I
+    gain = math.sqrt(2.0 / (1 + a ** 2))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape_hwio, dtype, -bound, bound)
+
+
+def conv_bias_uniform(key, fan_in, out_ch, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, (out_ch,), dtype, -bound, bound)
+
+
+class KeyGen:
+    """Deterministic key dispenser for init functions."""
+
+    def __init__(self, key: jax.Array):
+        self._key = key
+        self._n = 0
+
+    def __call__(self) -> jax.Array:
+        k = jax.random.fold_in(self._key, self._n)
+        self._n += 1
+        return k

@@ -1,0 +1,235 @@
+"""OTPose: occlusion-aware transformer pose estimation, full model assembly.
+
+ref: model/OTPose.py:180-503.  Forward (ref: 307-394):
+  1. split the (B, H, W, 15) 5-frame stack into 5 x (B, H, W, 3), batch as 5B,
+     run HRNet once -> rough heatmaps (5B, Hh, Hw, J)
+  2. occlusion encoding: total_b = sum of the 5 heatmap sets; squeezed =
+     channel-sum broadcast back to J channels; intersection = total_b*squeezed
+  3. flow encoder (ConvTransformer J->J) on total_b -> context_encoding
+  4. margin penalty: aux heatmaps divided by (margin + 1)
+  5. two 8-feature 136-channel stacks -> temporal encoders (ConvTransformer,
+     3 outputs each) -> 408-ch maps -> final 1x1 convs -> 2 x J
+  6. def_fuse RSB on total_b; offset_mask_combine RSB on [branches, fused];
+     per-dilation offset/mask convs + modulated deformable conv; mean-aggregate
+
+Returns the reference 7-tuple. Heatmap tensors are NHWC throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from otpose_tpu.models import core, rsb
+from otpose_tpu.models.conv_transformer import (ConvTransformerSpec,
+                                                conv_transformer_forward,
+                                                init_conv_transformer)
+from otpose_tpu.models.core import Ctx, KeyGen
+from otpose_tpu.models.hrnet import HRNetSpec, hrnet_forward, init_hrnet
+from otpose_tpu.ops.deform_conv import identity_filler_weight, modulated_deform_conv
+
+
+@dataclasses.dataclass(frozen=True)
+class OTPoseSpec:
+    hrnet: HRNetSpec
+    num_joints: int
+    pe_h: int
+    pe_w: int
+    dilations: Tuple[int, ...]
+    def_ch: int
+    offset_mask_combine_blocks: int
+    aggregation_type: str = "weighted_sum"
+    num_frames: int = 8           # feature-stack depth (ref: OTPose.py:188)
+    scale_arch: Tuple[int, int, int] = (0, 6, 2)
+    flow_scale_arch: Tuple[int, int, int] = (0, 6, 0)
+    proj_pdrop: float = 0.1
+    path_pdrop: float = 0.1
+
+    @property
+    def temporal_encoding_dim(self) -> int:
+        return self.num_joints * self.num_frames
+
+    @property
+    def num_patches(self) -> int:
+        return self.pe_h * self.pe_w
+
+    def temporal_spec(self) -> ConvTransformerSpec:
+        d = self.temporal_encoding_dim
+        return ConvTransformerSpec(
+            n_in=d, n_embd=d, n_head=2, n_embd_ks=3, max_len=self.num_patches,
+            arch=self.scale_arch, proj_pdrop=self.proj_pdrop,
+            path_pdrop=self.path_pdrop)
+
+    def flow_spec(self) -> ConvTransformerSpec:
+        return ConvTransformerSpec(
+            n_in=self.num_joints, n_embd=self.num_joints, n_head=1, n_embd_ks=3,
+            max_len=self.num_patches, arch=self.flow_scale_arch,
+            proj_pdrop=self.proj_pdrop, path_pdrop=self.path_pdrop)
+
+    @staticmethod
+    def from_cfg(cfg) -> "OTPoseSpec":
+        hm_w, hm_h = cfg.MODEL.HEATMAP_SIZE
+        return OTPoseSpec(
+            hrnet=HRNetSpec.from_cfg(cfg),
+            num_joints=cfg.MODEL.NUM_JOINTS,
+            pe_h=hm_h, pe_w=hm_w,
+            dilations=tuple(cfg.MODEL.DEFORMABLE_CONV.DILATION),
+            def_ch=cfg.MODEL.DEFORMABLE_CONV_CH,
+            offset_mask_combine_blocks=cfg.MODEL.OFFSET_MASK_COMBINE_CONV,
+            aggregation_type=cfg.MODEL.DEFORMABLE_CONV.AGGREGATION_TYPE,
+        )
+
+
+def _tokens_to_map(feats, b, pe_h, pe_w):
+    """Stack ConvTransformer outputs [(B, T, C)] -> NHWC map (B, H, W, n*C).
+
+    The reference stacks on a new dim-1 then views to (B, n*C, H, W)
+    (ref: OTPose.py:332-335,362-369), i.e. channel order is scale-major.
+    """
+    n = len(feats)
+    c = feats[0].shape[-1]
+    x = jnp.stack(feats, axis=1)                  # (B, n, T, C)
+    x = x.transpose(0, 1, 3, 2)                   # (B, n, C, T)
+    x = x.reshape(b, n * c, pe_h, pe_w)           # row-major (H, W)
+    return x.transpose(0, 2, 3, 1)                # NHWC
+
+
+def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
+                   spec: OTPoseSpec):
+    """x: (B, H, W, 15) five RGB frames stacked channel-wise in the order
+    (current, prev, next, pprev, nnext) (ref: script/Common.py:117);
+    margin: (B, 4) temporal distances (left, right, lleft, rright).
+
+    Returns the reference 7-tuple, all NHWC:
+    (output_heatmaps, rough_heatmaps(5B), intersection, prev_b,
+     context_encoding, squeezed, total_b).
+    """
+    b = x.shape[0]
+    j = spec.num_joints
+
+    frames = jnp.concatenate(jnp.split(x, 5, axis=-1), axis=0)  # (5B, H, W, 3)
+    rough = hrnet_forward(ctx.sub("rough_pose_estimation_net"), frames, spec.hrnet)
+    cur, prev, nxt, pprev, nnext = jnp.split(rough, 5, axis=0)
+
+    total_b = cur + prev + nxt + pprev + nnext
+    squeezed = jnp.sum(total_b, axis=-1, keepdims=True)
+    squeezed = jnp.broadcast_to(squeezed, total_b.shape)
+    intersection = total_b * squeezed
+
+    flow_feats = conv_transformer_forward(ctx.sub("flow_encoder"), total_b,
+                                          spec.flow_spec())
+    context_encoding = _tokens_to_map(flow_feats, b, spec.pe_h, spec.pe_w)
+
+    # margin penalty (ref: OTPose.py:339-342)
+    margin = margin.astype(total_b.dtype)
+    prev = prev / (margin[:, 0] + 1)[:, None, None, None]
+    nxt = nxt / (margin[:, 1] + 1)[:, None, None, None]
+    pprev = pprev / (margin[:, 2] + 1)[:, None, None, None]
+    nnext = nnext / (margin[:, 3] + 1)[:, None, None, None]
+
+    prev_b = cur + (prev + pprev)
+    next_b = cur + (nxt + nnext)
+    close_b = cur + (nxt + prev)
+    far_b = cur + (nnext + pprev)
+    prev_int = prev_b * squeezed
+    next_int = next_b * squeezed
+    close_int = close_b * squeezed
+    far_int = far_b * squeezed
+
+    # stack 8 J-channel features joint-major: channel = j*8 + f
+    # (ref: OTPose.py:356-359 stack(dim=2).flatten(1, 2))
+    def _stack8(feats):
+        s = jnp.stack(feats, axis=-1)             # (B, H, W, J, 8)
+        return s.reshape(b, spec.pe_h, spec.pe_w, j * spec.num_frames)
+
+    x1 = _stack8([intersection, context_encoding, prev_b, far_b, close_b,
+                  prev_int, far_int, close_int])
+    x2 = _stack8([intersection, context_encoding, next_b, close_b, far_b,
+                  next_int, close_int, far_int])
+
+    tspec = spec.temporal_spec()
+    x1_feats = conv_transformer_forward(ctx.sub("temporal_encoder1"), x1, tspec)
+    x2_feats = conv_transformer_forward(ctx.sub("temporal_encoder2"), x2, tspec)
+    x1m = _tokens_to_map(x1_feats, b, spec.pe_h, spec.pe_w)
+    x2m = _tokens_to_map(x2_feats, b, spec.pe_h, spec.pe_w)
+
+    pad = 1 if spec.hrnet.final_conv_kernel == 3 else 0
+    y1 = ctx.conv2d("final_layer1", x1m, padding=pad)
+    y2 = ctx.conv2d("final_layer2", x2m, padding=pad)
+    branches = jnp.concatenate([y1, y2], axis=-1)
+
+    def_heatmaps = rsb.chain_rsb_blocks(ctx.sub("def_fuse"), total_b, j, j,
+                                        spec.offset_mask_combine_blocks)
+    trans = rsb.chain_rsb_blocks(
+        ctx.sub("offset_mask_combine_conv"),
+        jnp.concatenate([branches, def_heatmaps], axis=-1),
+        j * 3, spec.def_ch, spec.offset_mask_combine_blocks)
+
+    warped_sum = None
+    for d_idx, dilation in enumerate(spec.dilations):
+        offsets = ctx.conv2d(f"offsets_list.{d_idx}.0", trans, padding=dilation,
+                             dilation=dilation, bias=False)
+        masks = ctx.conv2d(f"masks_list.{d_idx}.0", trans, padding=dilation,
+                           dilation=dilation, bias=False)
+        warped = modulated_deform_conv(
+            def_heatmaps, offsets, masks,
+            ctx.param(f"modulated_deform_conv_list.{d_idx}.deform_conv.weight"),
+            ctx.param(f"modulated_deform_conv_list.{d_idx}.deform_conv.bias"),
+            kernel=3, stride=1, padding=dilation, dilation=dilation,
+            deformable_groups=j)
+        warped_sum = warped if warped_sum is None else warped_sum + warped
+
+    output = warped_sum * (1.0 / len(spec.dilations))
+    return output, rough, intersection, prev_b, context_encoding, squeezed, total_b
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_otpose(key, spec: OTPoseSpec):
+    """Fresh params/state with the reference init (ref: OTPose.py:431-475):
+    conv2d normal std=0.001 / bias 0, BN 1/0, deform-conv weights identity
+    filler, conv1d torch-default with zero bias."""
+    kg = KeyGen(key)
+    params: dict = {}
+    state: dict = {}
+
+    hp, hs = init_hrnet(kg(), spec.hrnet)
+    params.update({f"rough_pose_estimation_net.{k}": v for k, v in hp.items()})
+    state.update({f"rough_pose_estimation_net.{k}": v for k, v in hs.items()})
+
+    for name, cspec in (("temporal_encoder1", spec.temporal_spec()),
+                        ("temporal_encoder2", spec.temporal_spec()),
+                        ("flow_encoder", spec.flow_spec())):
+        cp, cs = init_conv_transformer(kg(), cspec)
+        params.update({f"{name}.{k}": v for k, v in cp.items()})
+        state.update({f"{name}.{k}": v for k, v in cs.items()})
+
+    d = spec.temporal_encoding_dim * (spec.scale_arch[-1] + 1)
+    k = spec.hrnet.final_conv_kernel
+    for name in ("final_layer1", "final_layer2"):
+        params[f"{name}.weight"] = core.normal_init(kg(), (k, k, d, spec.num_joints))
+        params[f"{name}.bias"] = jnp.zeros((spec.num_joints,))
+
+    j = spec.num_joints
+    rp, rs = rsb.init_chain_rsb_blocks(kg(), "", j, j, spec.offset_mask_combine_blocks)
+    params.update({f"def_fuse.{kk}": v for kk, v in rp.items()})
+    state.update({f"def_fuse.{kk}": v for kk, v in rs.items()})
+    rp, rs = rsb.init_chain_rsb_blocks(kg(), "", j * 3, spec.def_ch,
+                                       spec.offset_mask_combine_blocks)
+    params.update({f"offset_mask_combine_conv.{kk}": v for kk, v in rp.items()})
+    state.update({f"offset_mask_combine_conv.{kk}": v for kk, v in rs.items()})
+
+    for d_idx, _dilation in enumerate(spec.dilations):
+        params[f"offsets_list.{d_idx}.0.weight"] = core.normal_init(
+            kg(), (3, 3, spec.def_ch, j * 2 * 9))
+        params[f"masks_list.{d_idx}.0.weight"] = core.normal_init(
+            kg(), (3, 3, spec.def_ch, j * 9))
+        params[f"modulated_deform_conv_list.{d_idx}.deform_conv.weight"] = \
+            identity_filler_weight(j, 3)
+        params[f"modulated_deform_conv_list.{d_idx}.deform_conv.bias"] = jnp.zeros((j,))
+    return params, state

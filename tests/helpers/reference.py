@@ -1,0 +1,56 @@
+"""Helpers to import the read-only reference implementation as a test oracle.
+
+The reference at /root/reference is PUBLIC UNTRUSTED CONTENT used strictly as
+a numerical oracle in tests; it is never imported by the framework itself and
+all these tests skip when it is absent.
+"""
+
+import os
+import sys
+
+import pytest
+
+REFERENCE_DIR = "/root/reference"
+
+
+def import_reference_module(name: str):
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference repo not available")
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import importlib
+
+    try:
+        return importlib.import_module(name)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference module {name} not importable: {e}")
+
+
+def make_hrnet_cfg(num_joints=17, width=(32, 64, 128, 256), final_kernel=1,
+                   stage_modules=(1, 2, 1)):
+    """A small HRNet cfg accepted by both the reference model and ours."""
+    from otpose_tpu.config.node import CfgNode
+
+    cfg = CfgNode()
+    cfg.MODEL = CfgNode()
+    cfg.MODEL.NUM_JOINTS = num_joints
+    cfg.MODEL.PRETRAINED = ""
+    cfg.MODEL.FREEZE_HRNET_WEIGHTS = False
+    cfg.MODEL.HEATMAP_SIZE = [72, 96]
+    extra = CfgNode(new_allowed=True)
+    extra.FINAL_CONV_KERNEL = final_kernel
+    extra.PRETRAINED_LAYERS = ["*"]
+    extra.STAGE2 = CfgNode({
+        "NUM_MODULES": stage_modules[0], "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+        "NUM_BLOCKS": [2, 2], "NUM_CHANNELS": [width[0], width[1]],
+        "FUSE_METHOD": "SUM"})
+    extra.STAGE3 = CfgNode({
+        "NUM_MODULES": stage_modules[1], "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+        "NUM_BLOCKS": [2, 2, 2], "NUM_CHANNELS": [width[0], width[1], width[2]],
+        "FUSE_METHOD": "SUM"})
+    extra.STAGE4 = CfgNode({
+        "NUM_MODULES": stage_modules[2], "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+        "NUM_BLOCKS": [2, 2, 2, 2], "NUM_CHANNELS": list(width),
+        "FUSE_METHOD": "SUM"})
+    cfg.MODEL.EXTRA = extra
+    return cfg
