@@ -1,0 +1,109 @@
+"""Benchmark: flagship OTPose eval-forward throughput (clips/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric of record (BASELINE.json): PoseTrack17 val clips/sec/chip.  A "clip"
+is one 5-frame person sample at full geometry (384x288 input, 96x72
+heatmaps).  ``vs_baseline`` is measured-clips/sec divided by the target
+(5x the CPU-reference throughput); the CPU reference is approximated by this
+same model run on host CPU (the torch reference cannot run at all without
+CUDA, so its CPU throughput is bounded above by this FLOP-identical proxy).
+Set BENCH_SKIP_CPU=1 to reuse the cached CPU number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+
+
+def _build(compute_dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.models.otpose import OTPoseSpec, init_otpose, otpose_forward
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
+    spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
+    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+
+    def f(params, state, x, margin):
+        ctx = Ctx(params, state, train=False, compute_dtype=compute_dtype)
+        return otpose_forward(ctx, x, margin, spec)[0]
+
+    return jax.jit(f), params, state
+
+
+def _measure(batch: int, iters: int, compute_dtype) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    fn, params, state = _build(compute_dtype)
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 384, 288, 15),
+                    jnp.float32)
+    margin = jnp.ones((batch, 4), jnp.float32)
+    fn(params, state, x, margin).block_until_ready()  # compile
+    fn(params, state, x, margin).block_until_ready()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, state, x, margin)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    value = _measure(BATCH, ITERS, dtype)
+
+    cpu_clips = None
+    if os.environ.get("BENCH_SKIP_CPU") != "1" and backend != "cpu":
+        # measure the CPU proxy in a subprocess pinned to CPU
+        import subprocess, sys
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.path.insert(0, %r);"
+            "import bench, json;"
+            "print('CPU_RESULT', bench._measure(1, 2, None))"
+            % os.path.dirname(os.path.abspath(__file__))
+        )
+        try:
+            out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                                 text=True, timeout=900,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines():
+                if line.startswith("CPU_RESULT"):
+                    cpu_clips = float(line.split()[1])
+                    json.dump({"cpu_clips_per_sec": cpu_clips},
+                              open(CPU_BASELINE_CACHE, "w"))
+        except Exception:
+            pass
+    if cpu_clips is None and os.path.exists(CPU_BASELINE_CACHE):
+        cpu_clips = json.load(open(CPU_BASELINE_CACHE))["cpu_clips_per_sec"]
+
+    vs_baseline = value / (5 * cpu_clips) if cpu_clips else None
+    print(json.dumps({
+        "metric": f"posetrack17_eval_forward_clips_per_sec_per_chip[{backend}]",
+        "value": round(value, 3),
+        "unit": "clips/sec",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""pjit training/eval step functions.
+
+TPU-native replacement for the reference train/eval engine hot loop
+(ref: script/Common.py:79-294,296-453).  The whole step — forward, the
+student/teacher loss plus the occlusion auxiliary loss, backward, global-norm
+clip, AdamW update, LR schedule — is one jit-compiled function over a
+``Mesh``-sharded batch; gradient all-reduce over the data axis is emitted by
+XLA.  Batch-norm batch statistics are computed over the *global* batch
+(sync-BN), a deliberate improvement over DataParallel's per-replica stats
+(documented divergence; see SURVEY.md hard-parts (e)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from otpose_tpu.models.core import Ctx
+from otpose_tpu.models.losses import st_ohkw_mse_loss
+from otpose_tpu.models.otpose import OTPoseSpec, otpose_forward
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Dict[str, jnp.ndarray]
+    model_state: Dict[str, jnp.ndarray]   # BN running stats + PE buffers
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def compute_losses(ctx: Ctx, batch: Dict[str, jnp.ndarray], spec: OTPoseSpec,
+                   topk: int = 8, use_target_weight: bool = True):
+    """Forward + the reference's loss combination (ref: Common.py:122-130).
+
+    batch: 'inputs' (B, H, W, 15), 'margin' (B, 4),
+           'target' (B, Hh, Hw, J), 'target_weight' (B, J, 1).
+    """
+    out = otpose_forward(ctx, batch["inputs"], batch["margin"], spec)
+    output, rough, intersection, _prev_b, context_encoding, _sq, _tb = out
+    bsz = batch["inputs"].shape[0]
+    pred_t = rough[:bsz]  # current-frame teacher heatmaps (no detach, as in ref)
+    target = batch["target"]
+    weight = batch["target_weight"]
+
+    losses = st_ohkw_mse_loss(output, pred_t, target, weight, topk=topk,
+                              use_target_weight=use_target_weight)
+    occlusion = (target + intersection) / 2
+    aux = st_ohkw_mse_loss(context_encoding, context_encoding, occlusion, weight,
+                           topk=topk, use_target_weight=use_target_weight)
+    total = losses["final_loss"] + aux["final_loss"]
+    metrics = {
+        "final_loss": total,
+        "ohkm_loss_s": losses["ohkm_loss_s"],
+        "mse_loss_s": losses["mse_loss_s"],
+        "occ_final_loss": aux["final_loss"],
+    }
+    return total, (metrics, output)
+
+
+def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
+                    topk: int = 8, use_target_weight: bool = True,
+                    donate: bool = True) -> Callable:
+    """Build the jit'd train step: (TrainState, batch, rng) -> (TrainState, metrics)."""
+
+    def loss_fn(params, model_state, batch, rng):
+        ctx = Ctx(params, model_state, train=True, rng=rng,
+                  compute_dtype=compute_dtype)
+        total, (metrics, _) = compute_losses(ctx, batch, spec, topk,
+                                             use_target_weight)
+        return total, (metrics, ctx.finalize_state())
+
+    def step(ts: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_model_state)), grads = grad_fn(
+            ts.params, ts.model_state, batch, rng)
+        updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, ts.params, updates)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return TrainState(new_params, new_model_state, new_opt_state,
+                          ts.step + 1), metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32) -> Callable:
+    """jit'd eval forward: (params, model_state, batch) -> (pred_heatmaps, teacher)."""
+
+    def step(params, model_state, batch):
+        ctx = Ctx(params, model_state, train=False, compute_dtype=compute_dtype)
+        out = otpose_forward(ctx, batch["inputs"], batch["margin"], spec)
+        bsz = batch["inputs"].shape[0]
+        return out[0], out[1][:bsz]
+
+    return jax.jit(step)
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def init_train_state(params, model_state, optimizer) -> TrainState:
+    return TrainState(params=params, model_state=model_state,
+                      opt_state=optimizer.init(params),
+                      step=jnp.zeros([], jnp.int32))

@@ -72,6 +72,11 @@ class OTPoseSpec:
     @staticmethod
     def from_cfg(cfg) -> "OTPoseSpec":
         hm_w, hm_h = cfg.MODEL.HEATMAP_SIZE
+        extra = cfg.MODEL.EXTRA
+        # archs are hard-coded in the reference (ref: OTPose.py:203-204);
+        # optional EXTRA overrides exist for small test models only
+        scale_arch = tuple(extra.get("SCALE_ARCH", (0, 6, 2)))
+        flow_arch = tuple(extra.get("FLOW_SCALE_ARCH", (0, 6, 0)))
         return OTPoseSpec(
             hrnet=HRNetSpec.from_cfg(cfg),
             num_joints=cfg.MODEL.NUM_JOINTS,
@@ -80,6 +85,8 @@ class OTPoseSpec:
             def_ch=cfg.MODEL.DEFORMABLE_CONV_CH,
             offset_mask_combine_blocks=cfg.MODEL.OFFSET_MASK_COMBINE_CONV,
             aggregation_type=cfg.MODEL.DEFORMABLE_CONV.AGGREGATION_TYPE,
+            scale_arch=scale_arch,
+            flow_scale_arch=flow_arch,
         )
 
 

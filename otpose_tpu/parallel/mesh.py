@@ -1,0 +1,48 @@
+"""Device mesh and sharding helpers.
+
+Supersedes the reference's entire parallelism story (a single-process
+``nn.DataParallel`` wrap, ref: train.py:78-79, eval.py:112-113) with SPMD
+over a ``jax.sharding.Mesh``: the batch is sharded on the ``data`` axis,
+parameters are replicated, and XLA emits the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build the mesh from cfg.TPU.MESH_AXES/MESH_SHAPE (-1 = all devices)."""
+    devices = list(devices if devices is not None else jax.devices())
+    axes = list(cfg.TPU.MESH_AXES) if cfg is not None else ["data"]
+    shape = list(cfg.TPU.MESH_SHAPE) if cfg is not None else [-1]
+    n = len(devices)
+    fixed = int(np.prod([s for s in shape if s != -1])) or 1
+    shape = [n // fixed if s == -1 else s for s in shape]
+    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with the batch axis sharded on 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

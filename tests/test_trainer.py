@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from otpose_tpu.engine.optim import (classify_param, linear_warmup_cosine_schedule,
+                                     make_optimizer, make_schedule)
+from otpose_tpu.engine.trainer import init_train_state, make_eval_step, make_train_step
+from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+from otpose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from otpose_tpu.utils.testing import tiny_otpose_cfg
+
+
+def _make_batch(rng, b, img=32, hm=8, j=17):
+    return {
+        "inputs": rng.randn(b, img, img, 15).astype(np.float32),
+        "margin": np.ones((b, 4), np.float32),
+        "target": rng.rand(b, hm, hm, j).astype(np.float32),
+        "target_weight": np.ones((b, j, 1), np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_otpose_cfg(image_size=32, heatmap_size=8)
+    spec = OTPoseSpec.from_cfg(cfg)
+    params, model_state = init_otpose(jax.random.PRNGKey(0), spec)
+    return cfg, spec, params, model_state
+
+
+def test_classify_param():
+    assert classify_param("rough_pose_estimation_net.conv1.weight") == "pretrained"
+    assert classify_param("final_layer1.bias") == "no_decay"
+    assert classify_param("temporal_encoder1.stem.0.ln1.weight") == "no_decay"
+    assert classify_param("temporal_encoder1.stem.0.attn.query_norm.weight") == "no_decay"
+    assert classify_param("temporal_encoder1.stem.0.drop_path_attn.scale") == "no_decay"
+    assert classify_param("temporal_encoder1.stem.0.attn.query.weight") == "decay"
+    assert classify_param("def_fuse.layers.0.conv_bn_relu1.bn.weight") == "decay"
+    assert classify_param("offsets_list.0.0.weight") == "decay"
+    assert classify_param("modulated_deform_conv_list.0.deform_conv.weight") == "decay"
+
+
+def test_schedule_matches_reference_closed_form():
+    torch = pytest.importorskip("torch")
+    import importlib.util
+    import os
+    path = "/root/reference/thirdparty/utils/lr_schedulers.py"
+    if not os.path.isfile(path):
+        pytest.skip("reference scheduler not available")
+    # load by file path: the thirdparty package __init__ needs the CUDA ext
+    spec = importlib.util.spec_from_file_location("ref_lr_schedulers", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    LinearWarmupCosineAnnealingLR = mod.LinearWarmupCosineAnnealingLR
+    base_lr, warmup, total = 1e-4, 10, 50
+    layer = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(layer.parameters(), lr=base_lr)
+    sched = LinearWarmupCosineAnnealingLR(opt, warmup, total)
+    ours = linear_warmup_cosine_schedule(base_lr, warmup, total)
+    for step in range(total):
+        lr_ref = opt.param_groups[0]["lr"]
+        lr_ours = float(ours(step))
+        assert lr_ours == pytest.approx(lr_ref, rel=1e-4, abs=1e-12), step
+        sched.step()
+
+
+def test_train_step_decreases_loss(setup):
+    cfg, spec, params, model_state = setup
+    schedule = make_schedule(cfg, num_iters_per_epoch=5)
+    optimizer = make_optimizer(params, cfg, schedule)
+    ts = init_train_state(params, model_state, optimizer)
+    step_fn = make_train_step(spec, optimizer, donate=False)
+    rng = np.random.RandomState(0)
+    batch = _make_batch(rng, 2)
+    losses = []
+    for i in range(4):
+        ts, metrics = step_fn(ts, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["final_loss"]))
+    assert all(np.isfinite(losses))
+    assert int(ts.step) == 4
+    # params changed
+    assert not np.allclose(np.asarray(ts.params["final_layer1.weight"]),
+                           np.asarray(params["final_layer1.weight"]))
+
+
+def test_eval_step(setup):
+    cfg, spec, params, model_state = setup
+    eval_fn = make_eval_step(spec)
+    batch = _make_batch(np.random.RandomState(1), 2)
+    preds, teacher = eval_fn(params, model_state, batch)
+    assert preds.shape == (2, 8, 8, 17)
+    assert teacher.shape == (2, 8, 8, 17)
+
+
+def test_data_parallel_matches_single_device(setup):
+    """Same step on an 8-device mesh and on one device -> same loss/params
+    (SURVEY.md §4 distributed test)."""
+    cfg, spec, params, model_state = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    schedule = make_schedule(cfg, num_iters_per_epoch=5)
+    optimizer = make_optimizer(params, cfg, schedule)
+    step_fn = make_train_step(spec, optimizer, donate=False)
+    batch = _make_batch(np.random.RandomState(2), 8)
+    rng = jax.random.PRNGKey(0)
+
+    # single device
+    ts1 = init_train_state(params, model_state, optimizer)
+    ts1, m1 = step_fn(ts1, jax.tree_util.tree_map(jnp.asarray, batch), rng)
+
+    # 8-device mesh
+    mesh = make_mesh(cfg)
+    with jax.sharding.set_mesh(mesh):
+        ts8 = init_train_state(replicate(mesh, params), replicate(mesh, model_state),
+                               optimizer)
+        ts8, m8 = step_fn(ts8, shard_batch(mesh, batch), rng)
+
+    assert float(m1["final_loss"]) == pytest.approx(float(m8["final_loss"]), rel=2e-4)
+    w1 = np.asarray(ts1.params["final_layer1.weight"])
+    w8 = np.asarray(ts8.params["final_layer1.weight"])
+    np.testing.assert_allclose(w1, w8, atol=5e-6)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ge.dryrun_multichip(8)
