@@ -1,0 +1,107 @@
+"""Evaluation entry point.
+
+ref: eval.py:19-121.  ``python eval.py --cfg <yaml> [--val|--test]`` — builds
+the val/test dataset, resolves the checkpoint list (explicit MODEL_FILE, a
+specific checkpoint id, or latest), and runs the poseval evaluation for each.
+"""
+
+from __future__ import annotations
+
+import logging
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+
+from otpose_tpu.config import default_parse_args
+from otpose_tpu.data.loader import Loader
+from otpose_tpu.data.posetrack import PoseTrackDataset
+from otpose_tpu.engine import checkpoints as ckpt
+from otpose_tpu.engine.base import RunBase
+from otpose_tpu.engine.runner import evaluate_epoch, make_flip_eval_step
+from otpose_tpu.engine.trainer import make_eval_step
+from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+
+logger = logging.getLogger(__name__)
+
+
+class Eval(RunBase):
+    def __init__(self, phase: str = "validate", args=None):
+        super().__init__(phase, args=args)
+        cfg = self.cfg
+        self.dataset = PoseTrackDataset(cfg, phase)
+        sub = cfg.VAL if phase == "validate" else cfg.TEST
+        self.batch = sub.BATCH_SIZE_PER_GPU * len(jax.devices())
+        self.loader = Loader(self.dataset, self.batch, shuffle=False,
+                             num_workers=cfg.WORKERS)
+        self.spec = OTPoseSpec.from_cfg(cfg)
+        self.model_file = sub.MODEL_FILE
+        self.flip = sub.FLIP_VAL if phase == "validate" else sub.FLIP_TEST
+
+        compute_dtype = jnp.bfloat16 \
+            if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+        if self.flip:
+            self.eval_fn = make_flip_eval_step(self.spec,
+                                               compute_dtype=compute_dtype)
+        else:
+            self.eval_fn = make_eval_step(self.spec, compute_dtype=compute_dtype)
+
+    def list_model_files(self):
+        """ref: eval.py:64-83."""
+        if self.model_file:
+            return [self.model_file]
+        val_from = int(getattr(self.args, "val_from_checkpoint", -1))
+        folder = self.checkpoints_save_folder
+        if val_from >= 0:
+            all_ckpts = ckpt.get_all_checkpoints(folder)
+            return [c for c in all_ckpts
+                    if ckpt._parse_epoch(osp.basename(c)) >= val_from]
+        latest = ckpt.get_latest_checkpoint(folder)
+        if latest is None:
+            best = ckpt.get_best_checkpoint(folder)
+            return [best] if best else []
+        return [latest]
+
+    def eval(self):
+        results = []
+        model_files = self.list_model_files()
+        if not model_files:
+            raise FileNotFoundError(
+                f"no checkpoint found in {self.checkpoints_save_folder} and no "
+                f"MODEL_FILE configured")
+        for model_file in model_files:
+            logger.info("=> evaluating %s", model_file)
+            params, model_state = self._load(model_file)
+            name_values, mean_ap = evaluate_epoch(
+                self.eval_fn, params, model_state, self.loader, self.dataset,
+                self.cfg, self.cfg.OUTPUT_DIR, phase=self.phase)
+            results.append((model_file, name_values, mean_ap))
+        return results
+
+    def _load(self, model_file: str):
+        """Load any checkpoint form (orbax dir / torch .pth)
+        (ref: eval.py:97-116)."""
+        init_params, init_state = init_otpose(jax.random.PRNGKey(0), self.spec)
+        blob = ckpt.restore_checkpoint(model_file)
+        params = dict(init_params)
+        model_state = dict(init_state)
+        n = 0
+        for k, v in blob["params"].items():
+            if k in params and tuple(params[k].shape) == tuple(v.shape):
+                params[k] = jnp.asarray(v)
+                n += 1
+        for k, v in blob.get("model_state", {}).items():
+            if k in model_state and tuple(model_state[k].shape) == tuple(v.shape):
+                model_state[k] = jnp.asarray(v)
+        logger.info("=> loaded %d/%d tensors", n, len(params))
+        return params, model_state
+
+
+def main(argv=None):
+    args = default_parse_args(argv)
+    phase = "test" if getattr(args, "test", False) else "validate"
+    Eval(phase, args).eval()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,8 @@ def update_config(cfg: CfgNode, args) -> None:
         cfg.ROOT_DIR = root
 
     def _root(p: str) -> str:
+        if not p:
+            return p
         return os.path.abspath(os.path.join(cfg.ROOT_DIR, p))
 
     cfg.OUTPUT_DIR = _root(cfg.OUTPUT_DIR)

@@ -1,0 +1,314 @@
+"""YOLOv3 person detector for offline box generation.
+
+ref: object_detector/YOLOv3/ (cfg-file-driven Darknet graph + .weights
+loader + NMS, models.py:14-354, detector_utils.py:12-365,
+detector_yolov3.py:17-98).  The reference parses darknet .cfg files at
+runtime; here the standard YOLOv3 graph is expressed directly as an ordered
+layer program (same layer order as the official cfg, so official
+``yolov3.weights`` files load sequentially), and inference is one jit'd JAX
+function.
+
+Used to produce the precomputed person-box jsons consumed by
+``PoseTrackDataset._load_detection_boxes`` (ref: PoseTrackDataset.py:176-226).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# the standard YOLOv3 anchor set (official cfg ordering: head1 = stride 32)
+ANCHORS = {
+    0: [(116, 90), (156, 198), (373, 326)],
+    1: [(30, 61), (62, 45), (59, 119)],
+    2: [(10, 13), (16, 30), (33, 23)],
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    out_ch: int
+    kernel: int
+    stride: int = 1
+    bn: bool = True       # batchnorm + leaky; False => linear conv with bias
+
+
+# ('conv', ConvSpec) | ('res', n_blocks, mid, out) | ('route', [tap names])
+# | ('up',) | ('save', name) | ('yolo', head_idx)
+def _program() -> List[tuple]:
+    p: List[tuple] = [
+        ("conv", ConvSpec(32, 3)),
+        ("conv", ConvSpec(64, 3, 2)), ("res", 1, 32, 64),
+        ("conv", ConvSpec(128, 3, 2)), ("res", 2, 64, 128),
+        ("conv", ConvSpec(256, 3, 2)), ("res", 8, 128, 256), ("save", "r36"),
+        ("conv", ConvSpec(512, 3, 2)), ("res", 8, 256, 512), ("save", "r61"),
+        ("conv", ConvSpec(1024, 3, 2)), ("res", 4, 512, 1024),
+    ]
+    # detection head 1 (stride 32)
+    p += [("conv", ConvSpec(512, 1)), ("conv", ConvSpec(1024, 3)),
+          ("conv", ConvSpec(512, 1)), ("conv", ConvSpec(1024, 3)),
+          ("conv", ConvSpec(512, 1)), ("save", "h1"),
+          ("conv", ConvSpec(1024, 3)), ("conv", ConvSpec(255, 1, bn=False)),
+          ("yolo", 0),
+          ("route", ["h1"]), ("conv", ConvSpec(256, 1)), ("up",),
+          ("route_cat", "r61")]
+    # head 2 (stride 16)
+    p += [("conv", ConvSpec(256, 1)), ("conv", ConvSpec(512, 3)),
+          ("conv", ConvSpec(256, 1)), ("conv", ConvSpec(512, 3)),
+          ("conv", ConvSpec(256, 1)), ("save", "h2"),
+          ("conv", ConvSpec(512, 3)), ("conv", ConvSpec(255, 1, bn=False)),
+          ("yolo", 1),
+          ("route", ["h2"]), ("conv", ConvSpec(128, 1)), ("up",),
+          ("route_cat", "r36")]
+    # head 3 (stride 8)
+    p += [("conv", ConvSpec(128, 1)), ("conv", ConvSpec(256, 3)),
+          ("conv", ConvSpec(128, 1)), ("conv", ConvSpec(256, 3)),
+          ("conv", ConvSpec(128, 1)),
+          ("conv", ConvSpec(256, 3)), ("conv", ConvSpec(255, 1, bn=False)),
+          ("yolo", 2)]
+    return p
+
+
+def _conv_specs_in_order() -> List[Tuple[int, ConvSpec]]:
+    """All convs in darknet weight-file order with their input channels."""
+    specs = []
+    ch = 3
+    saves: Dict[str, int] = {}
+    stack = []  # channel tracker
+    for op in _program():
+        if op[0] == "conv":
+            specs.append((ch, op[1]))
+            ch = op[1].out_ch
+        elif op[0] == "res":
+            _, n, mid, out = op
+            for _ in range(n):
+                specs.append((ch, ConvSpec(mid, 1)))
+                specs.append((mid, ConvSpec(out, 3)))
+                ch = out
+        elif op[0] == "save":
+            saves[op[1]] = ch
+        elif op[0] == "route":
+            ch = saves[op[1][0]]
+        elif op[0] == "route_cat":
+            ch = ch + saves[op[1]]
+        elif op[0] in ("up", "yolo"):
+            pass
+    return specs
+
+
+def load_darknet_weights(path: str) -> List[dict]:
+    """Official .weights binary -> per-conv param dicts in program order
+    (layout per conv: [bn_bias, bn_scale, bn_mean, bn_var] or [bias], then
+    OIHW kernel — ref: models.py:286-331)."""
+    with open(path, "rb") as f:
+        header = np.fromfile(f, dtype=np.int32, count=5)  # noqa: F841
+        buf = np.fromfile(f, dtype=np.float32)
+    ptr = 0
+    out = []
+    for cin, spec in _conv_specs_in_order():
+        p: dict = {}
+        co = spec.out_ch
+        if spec.bn:
+            p["bn_bias"] = buf[ptr:ptr + co]; ptr += co
+            p["bn_scale"] = buf[ptr:ptr + co]; ptr += co
+            p["bn_mean"] = buf[ptr:ptr + co]; ptr += co
+            p["bn_var"] = buf[ptr:ptr + co]; ptr += co
+        else:
+            p["bias"] = buf[ptr:ptr + co]; ptr += co
+        n_w = co * cin * spec.kernel * spec.kernel
+        w = buf[ptr:ptr + n_w].reshape(co, cin, spec.kernel, spec.kernel)
+        ptr += n_w
+        p["weight"] = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+        out.append(p)
+    assert ptr == len(buf), f"weight file mismatch: used {ptr} of {len(buf)}"
+    return out
+
+
+def init_random_weights(seed: int = 0) -> List[dict]:
+    """Random weights with the same structure (for tests without a
+    yolov3.weights file)."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for cin, spec in _conv_specs_in_order():
+        co, k = spec.out_ch, spec.kernel
+        p = {"weight": (rng.randn(k, k, cin, co) * 0.01).astype(np.float32)}
+        if spec.bn:
+            p["bn_bias"] = np.zeros(co, np.float32)
+            p["bn_scale"] = np.ones(co, np.float32)
+            p["bn_mean"] = np.zeros(co, np.float32)
+            p["bn_var"] = np.ones(co, np.float32)
+        else:
+            p["bias"] = np.zeros(co, np.float32)
+        out.append(p)
+    return out
+
+
+def _conv(x, p, spec: ConvSpec):
+    pad = spec.kernel // 2
+    if spec.stride > 1:
+        # darknet pads top-left-biased for stride-2 (size/2 exactly)
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        pad_cfg = [(0, 0), (0, 0)]
+    else:
+        pad_cfg = [(pad, pad), (pad, pad)]
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(p["weight"]), (spec.stride, spec.stride), pad_cfg,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if spec.bn:
+        inv = jax.lax.rsqrt(jnp.asarray(p["bn_var"]) + 1e-5)
+        y = (y - p["bn_mean"]) * (inv * p["bn_scale"]) + p["bn_bias"]
+        y = jnp.where(y > 0, y, 0.1 * y)  # leaky relu
+    else:
+        y = y + p["bias"]
+    return y
+
+
+def _decode_head(feat: jnp.ndarray, head_idx: int, img_size: int) -> jnp.ndarray:
+    """(B, g, g, 255) raw head -> (B, g*g*3, 85) [cx, cy, w, h, obj, cls...]
+    (ref: models.py:112-235 YOLOLayer)."""
+    b, gh, gw, _ = feat.shape
+    stride = img_size // gh
+    feat = feat.reshape(b, gh, gw, 3, 85)
+    xs = jnp.arange(gw, dtype=jnp.float32)
+    ys = jnp.arange(gh, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    anchors = jnp.asarray(ANCHORS[head_idx], jnp.float32) / stride
+    cx = (jax.nn.sigmoid(feat[..., 0]) + gx[None, :, :, None]) * stride
+    cy = (jax.nn.sigmoid(feat[..., 1]) + gy[None, :, :, None]) * stride
+    ww = jnp.exp(feat[..., 2]) * anchors[None, None, None, :, 0] * stride
+    hh = jnp.exp(feat[..., 3]) * anchors[None, None, None, :, 1] * stride
+    obj = jax.nn.sigmoid(feat[..., 4])
+    cls = jax.nn.sigmoid(feat[..., 5:])
+    out = jnp.concatenate([cx[..., None], cy[..., None], ww[..., None],
+                           hh[..., None], obj[..., None], cls], axis=-1)
+    return out.reshape(b, gh * gw * 3, 85)
+
+
+@functools.partial(jax.jit, static_argnames=("img_size",))
+def yolo_forward(weights_flat, x: jnp.ndarray, img_size: int = 416) -> jnp.ndarray:
+    """x: (B, S, S, 3) in [0, 1] -> (B, N, 85) decoded detections."""
+    conv_i = 0
+    saves: Dict[str, jnp.ndarray] = {}
+    detections = []
+    for op in _program():
+        if op[0] == "conv":
+            x = _conv(x, weights_flat[conv_i], op[1])
+            conv_i += 1
+        elif op[0] == "res":
+            _, n, mid, out_ch = op
+            for _ in range(n):
+                skip = x
+                x = _conv(x, weights_flat[conv_i], ConvSpec(mid, 1)); conv_i += 1
+                x = _conv(x, weights_flat[conv_i], ConvSpec(out_ch, 3)); conv_i += 1
+                x = x + skip
+        elif op[0] == "save":
+            saves[op[1]] = x
+        elif op[0] == "route":
+            x = saves[op[1][0]]
+        elif op[0] == "route_cat":
+            x = jnp.concatenate([x, saves[op[1]]], axis=-1)
+        elif op[0] == "up":
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        elif op[0] == "yolo":
+            detections.append(_decode_head(x, op[1], img_size))
+    return jnp.concatenate(detections, axis=1)
+
+
+def preprocess_image(img: np.ndarray, img_size: int = 416):
+    """Pad to square (value 128) + resize (ref: detector_utils.py:12-39).
+    Returns (tensor (S, S, 3) in [0,1], pad info for rescaling)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    dim_diff = abs(h - w)
+    pad1, pad2 = dim_diff // 2, dim_diff - dim_diff // 2
+    if h <= w:
+        pad = ((pad1, pad2), (0, 0), (0, 0))
+    else:
+        pad = ((0, 0), (pad1, pad2), (0, 0))
+    padded = np.pad(img, pad, constant_values=128)
+    side = padded.shape[0]
+    resized = cv2.resize(padded, (img_size, img_size))
+    return resized.astype(np.float32) / 255.0, (pad, side)
+
+
+def _xywh_to_xyxy(b):
+    return np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+                     b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], axis=1)
+
+
+def non_max_suppression(dets: np.ndarray, conf_thres: float = 0.8,
+                        nms_thres: float = 0.4) -> np.ndarray:
+    """Per-class greedy NMS on (N, 85) decoded detections
+    (ref: detector_utils.py:253-313).  Returns (M, 7)
+    [x1, y1, x2, y2, obj, cls_score, cls_idx]."""
+    mask = dets[:, 4] >= conf_thres
+    dets = dets[mask]
+    if len(dets) == 0:
+        return np.zeros((0, 7))
+    cls_score = dets[:, 5:].max(axis=1)
+    cls_idx = dets[:, 5:].argmax(axis=1)
+    boxes = _xywh_to_xyxy(dets[:, :4])
+    out = []
+    for c in np.unique(cls_idx):
+        sel = cls_idx == c
+        b, s = boxes[sel], dets[sel, 4] * cls_score[sel]
+        order = np.argsort(-s)
+        keep = np.ones(len(order), dtype=bool)
+        for i in range(len(order)):
+            if not keep[i]:
+                continue
+            bi = b[order[i]]
+            rest = order[i + 1:]
+            xx1 = np.maximum(bi[0], b[rest, 0])
+            yy1 = np.maximum(bi[1], b[rest, 1])
+            xx2 = np.minimum(bi[2], b[rest, 2])
+            yy2 = np.minimum(bi[3], b[rest, 3])
+            inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+            a1 = (bi[2] - bi[0]) * (bi[3] - bi[1])
+            a2 = (b[rest, 2] - b[rest, 0]) * (b[rest, 3] - b[rest, 1])
+            iou = inter / (a1 + a2 - inter + 1e-16)
+            keep[i + 1:] &= iou <= nms_thres
+        kept = order[keep]
+        for j in kept:
+            out.append([*b[j], dets[sel][j, 4], cls_score[sel][j], c])
+    return np.asarray(out).reshape(-1, 7)
+
+
+class YoloV3Detector:
+    """Person-box detector (ref: detector_yolov3.py:17-98)."""
+
+    def __init__(self, weights_path: Optional[str] = None, img_size: int = 416,
+                 conf_thres: float = 0.8, nms_thres: float = 0.4):
+        self.img_size = img_size
+        self.conf_thres = conf_thres
+        self.nms_thres = nms_thres
+        if weights_path:
+            self.weights = load_darknet_weights(weights_path)
+        else:
+            self.weights = init_random_weights()
+
+    def detect_persons(self, img_rgb: np.ndarray) -> List[list]:
+        """RGB image -> list of [x, y, w, h] person boxes in image coords
+        (ref: detector_yolov3.py:58-98)."""
+        tensor, (pad, side) = preprocess_image(img_rgb, self.img_size)
+        dets = np.asarray(yolo_forward(self.weights, jnp.asarray(tensor[None]),
+                                       self.img_size))[0]
+        kept = non_max_suppression(dets, self.conf_thres, self.nms_thres)
+        boxes = []
+        scale = side / self.img_size
+        for x1, y1, x2, y2, obj, cls_s, cls_i in kept:
+            if int(cls_i) != 0:  # person
+                continue
+            x1, y1 = x1 * scale - pad[1][0], y1 * scale - pad[0][0]
+            x2, y2 = x2 * scale - pad[1][0], y2 * scale - pad[0][0]
+            boxes.append([float(x1), float(y1), float(x2 - x1), float(y2 - y1),
+                          float(obj * cls_s)])
+        return boxes

@@ -1,0 +1,155 @@
+"""Checkpoint I/O with the reference's resume semantics, on orbax.
+
+ref: model/checkpoints.py:6-74, utils/setup.py:135-224.  Checkpoints are
+directories ``epoch_{N}_state`` holding {params, model_state, opt_state,
+step, begin_epoch, tensorboard_global_steps}; best checkpoints are
+``best_mAP_{value}_state`` with previous-best deletion.  Torch ``.pth``
+checkpoints from the reference load transparently (weights only).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import re
+import shutil
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(folder: str, epoch: int, train_state, *,
+                    tensorboard_global_steps: int = 0):
+    """-> ``{folder}/epoch_{N}_state`` (ref: model/checkpoints.py:28-44)."""
+    os.makedirs(folder, exist_ok=True)
+    path = osp.abspath(osp.join(folder, f"epoch_{epoch}_state"))
+    payload = {
+        "params": dict(train_state.params),
+        "model_state": dict(train_state.model_state),
+        "opt_state": train_state.opt_state,
+        "step": train_state.step,
+        "meta": {
+            "begin_epoch": np.asarray(epoch + 1),
+            "tensorboard_global_steps": np.asarray(tensorboard_global_steps),
+        },
+    }
+    ckptr = _checkpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def save_best_checkpoint(folder: str, train_state, mAP: float):
+    """``best_mAP_{v}_state`` with prior-best removal
+    (ref: model/checkpoints.py:47-74)."""
+    os.makedirs(folder, exist_ok=True)
+    for name in os.listdir(folder):
+        if name.startswith("best_mAP_"):
+            prev = _parse_best(name)
+            if prev is not None and prev < mAP:
+                shutil.rmtree(osp.join(folder, name), ignore_errors=True)
+            elif prev is not None and prev >= mAP:
+                return None
+    path = osp.abspath(osp.join(folder, f"best_mAP_{mAP}_state"))
+    payload = {"params": dict(train_state.params),
+               "model_state": dict(train_state.model_state)}
+    ckptr = _checkpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def _parse_epoch(name: str) -> Optional[int]:
+    m = re.fullmatch(r"epoch_(\d+)_state", name)
+    return int(m.group(1)) if m else None
+
+
+def _parse_best(name: str) -> Optional[float]:
+    m = re.fullmatch(r"best_mAP_([\d.]+?)_state", name)
+    return float(m.group(1)) if m else None
+
+
+def get_latest_checkpoint(folder: str) -> Optional[str]:
+    """Latest by epoch number (ref: utils/setup.py:135-151)."""
+    if not osp.isdir(folder):
+        return None
+    best = None
+    best_epoch = -1
+    for name in os.listdir(folder):
+        e = _parse_epoch(name)
+        if e is not None and e > best_epoch:
+            best_epoch, best = e, osp.join(folder, name)
+    return best
+
+
+def get_best_checkpoint(folder: str) -> Optional[str]:
+    """Highest-mAP best checkpoint (ref: utils/setup.py:154-171)."""
+    if not osp.isdir(folder):
+        return None
+    best = None
+    best_map = -1.0
+    for name in os.listdir(folder):
+        v = _parse_best(name)
+        if v is not None and v > best_map:
+            best_map, best = v, osp.join(folder, name)
+    return best
+
+
+def get_all_checkpoints(folder: str):
+    """All epoch checkpoints, naturally sorted (ref: utils/setup.py:198-224)."""
+    if not osp.isdir(folder):
+        return []
+    out = [(e, osp.join(folder, n)) for n in os.listdir(folder)
+           if (e := _parse_epoch(n)) is not None]
+    return [p for _, p in sorted(out)]
+
+
+def restore_checkpoint(path: str, template=None):
+    """Restore an orbax dir or a torch .pth (weights converted).
+
+    Returns dict with at least params/model_state; orbax checkpoints include
+    opt_state/step/meta when a matching template is given.
+    """
+    if path.endswith(".pth") or path.endswith(".pth.tar"):
+        from otpose_tpu.models.torch2jax import load_torch_checkpoint
+
+        out = load_torch_checkpoint(path)
+        out["params"] = {k: np.asarray(v) for k, v in out["params"].items()}
+        out["state"] = {k: np.asarray(v) for k, v in out["state"].items()}
+        out["model_state"] = out.pop("state")
+        return out
+    ckptr = _checkpointer()
+    path = osp.abspath(path)
+    if template is not None:
+        return ckptr.restore(path, template)
+    return ckptr.restore(path)
+
+
+def resume(folder: str, train_state):
+    """Auto-resume from the latest epoch checkpoint (ref: checkpoints.py:6-25,
+    train.py:101-110). Returns (train_state, begin_epoch, tb_steps)."""
+    latest = get_latest_checkpoint(folder)
+    if latest is None:
+        return train_state, 0, 0
+    template = {
+        "params": dict(train_state.params),
+        "model_state": dict(train_state.model_state),
+        "opt_state": train_state.opt_state,
+        "step": train_state.step,
+        "meta": {"begin_epoch": np.asarray(0),
+                 "tensorboard_global_steps": np.asarray(0)},
+    }
+    blob = restore_checkpoint(latest, template)
+    import dataclasses
+
+    ts = dataclasses.replace(train_state, params=blob["params"],
+                             model_state=blob["model_state"],
+                             opt_state=blob["opt_state"], step=blob["step"])
+    return ts, int(blob["meta"]["begin_epoch"]), int(
+        blob["meta"]["tensorboard_global_steps"])

@@ -1,0 +1,190 @@
+"""Training / evaluation engine loops.
+
+ref: script/Common.py:44-453 (CommonFunction).  The hot loop is fully on
+device (one jit step); the host only feeds batches, logs meters, and runs the
+final decode -> poseval stage.  Implements flip-test averaging behind the
+reference's VAL.FLIP_VAL / TEST.FLIP_TEST flags (the reference defines the
+flags but never implements flipping — SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tabulate import tabulate
+
+from otpose_tpu.data.posetrack import FLIP_PAIRS
+from otpose_tpu.evaluate.pck import accuracy
+from otpose_tpu.models.core import Ctx
+from otpose_tpu.models.otpose import otpose_forward
+from otpose_tpu.ops.heatmap import get_final_preds
+
+logger = logging.getLogger(__name__)
+
+
+class AverageMeter:
+    """ref: script/Common.py:22-40."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+        self.avg = 0.0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count if self.count else 0.0
+
+
+def make_flip_eval_step(spec, *, compute_dtype=jnp.float32):
+    """Eval forward with horizontal flip-test averaging.
+
+    Flips the 5-frame input stack, runs the model, unflips the heatmaps and
+    swaps left/right joint channels, then averages with the direct pass.
+    """
+    pairs = np.asarray(FLIP_PAIRS)
+    perm = np.arange(spec.num_joints)
+    perm[pairs[:, 0]], perm[pairs[:, 1]] = pairs[:, 1], pairs[:, 0]
+    perm = jnp.asarray(perm)
+
+    def step(params, model_state, batch):
+        ctx = Ctx(params, model_state, train=False, compute_dtype=compute_dtype)
+        out = otpose_forward(ctx, batch["inputs"], batch["margin"], spec)
+        heat = out[0]
+        ctx2 = Ctx(params, model_state, train=False, compute_dtype=compute_dtype)
+        flipped = batch["inputs"][:, :, ::-1, :]
+        out_f = otpose_forward(ctx2, flipped, batch["margin"], spec)
+        heat_f = out_f[0][:, :, ::-1, :]          # unflip spatially
+        heat_f = jnp.take(heat_f, perm, axis=-1)  # swap L/R joints
+        # align: flipping shifts the heatmap grid by one pixel (standard
+        # simple-baselines shift, cf. VAL.SHIFT_HEATMAP semantics)
+        heat_f = jnp.concatenate([heat_f[:, :, :1], heat_f[:, :, :-1]], axis=2)
+        bsz = batch["inputs"].shape[0]
+        return (heat + heat_f) * 0.5, out[1][:bsz]
+
+    return jax.jit(step)
+
+
+def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
+                rng: jax.Array, tb_writer=None, global_steps: int = 0,
+                shard_fn=None) -> tuple:
+    """One training epoch (ref: script/Common.py:79-294).
+    Returns (train_state, global_steps)."""
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    acc_meter = AverageMeter()
+    losses = defaultdict(AverageMeter)
+
+    end = time.time()
+    max_iter = len(loader)
+    for it, (batch, metas) in enumerate(loader):
+        data_time.update(time.time() - end)
+        if shard_fn is not None:
+            batch = shard_fn(batch)
+        step_rng = jax.random.fold_in(rng, global_steps)
+        train_state, metrics = step_fn(train_state,
+                                       {k: batch[k] for k in
+                                        ("inputs", "margin", "target",
+                                         "target_weight")},
+                                       step_rng)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        global_steps += 1
+
+        if it % cfg.PRINT_FREQ == 0 or it >= max_iter - 1:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            for k, v in host_metrics.items():
+                losses[k].update(v)
+            if tb_writer is not None:
+                for k, v in host_metrics.items():
+                    tb_writer.add_scalar(f"train/{k}", v, global_steps)
+            bsz = batch["inputs"].shape[0]
+            logger.info(
+                "Epoch: [%03d][%05d/%05d]\tTime %.3fs (%.3fs)\t"
+                "Speed %.1f samples/s\tData %.3fs\tLoss %.5f\tAcc %.3f",
+                epoch, it, max_iter, batch_time.val, batch_time.avg,
+                bsz / max(batch_time.val, 1e-9), data_time.val,
+                host_metrics.get("final_loss", float("nan")), acc_meter.avg)
+    return train_state, global_steps
+
+
+def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
+                   output_dir: str, *, phase: str = "validate",
+                   tb_writer=None, global_steps: int = 0):
+    """Full evaluation pass (ref: script/Common.py:296-453).
+    Returns (name_values, mean_ap)."""
+    batch_time = AverageMeter()
+    acc_meter = AverageMeter()
+
+    num_samples = len(dataset)
+    num_joints = cfg.MODEL.NUM_JOINTS
+    all_preds = np.zeros((num_samples, num_joints, 3))
+    all_boxes = np.zeros((num_samples, 6))
+    filenames_map: Dict[str, list] = {}
+    filenames_counter = 0
+    idx = 0
+
+    end = time.time()
+    for it, (batch, metas) in enumerate(loader):
+        preds_heat, teacher = eval_fn(
+            params, model_state,
+            {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")})
+        preds_np = np.asarray(preds_heat)        # (B, Hh, Hw, J)
+        target_np = batch["target"]
+
+        # PCK meter on NCHW layout
+        _, avg_acc, cnt, _ = accuracy(
+            preds_np.transpose(0, 3, 1, 2), target_np.transpose(0, 3, 1, 2))
+        acc_meter.update(avg_acc, cnt)
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        for meta in metas:
+            filenames_map.setdefault(meta["image"], []).append(filenames_counter)
+            filenames_counter += 1
+
+        center = np.stack([m["center"] for m in metas])
+        scale = np.stack([m["scale"] for m in metas])
+        score = np.asarray([m["score"] for m in metas])
+        n = preds_np.shape[0]
+        preds, maxvals = get_final_preds(preds_np.transpose(0, 3, 1, 2),
+                                         center, scale)
+        all_preds[idx:idx + n, :, 0:2] = preds[:, :, 0:2]
+        all_preds[idx:idx + n, :, 2:3] = maxvals
+        all_boxes[idx:idx + n, 0:2] = center
+        all_boxes[idx:idx + n, 2:4] = scale
+        all_boxes[idx:idx + n, 4] = np.prod(scale * 200, 1)
+        all_boxes[idx:idx + n, 5] = score
+        idx += n
+
+        if it % cfg.PRINT_FREQ == 0:
+            logger.info("%s: [%d/%d]\tTime %.3f (%.3f)\tAccuracy %.3f (%.3f)",
+                        phase, it, len(loader), batch_time.val, batch_time.avg,
+                        acc_meter.val, acc_meter.avg)
+
+    name_values, mean_ap = dataset.evaluate(cfg, all_preds, output_dir,
+                                            all_boxes, filenames_map)
+    _print_name_value(name_values, cfg.MODEL.NAME)
+    if tb_writer is not None:
+        tb_writer.add_scalar(f"{phase}/mAP", mean_ap, global_steps)
+    return name_values, mean_ap
+
+
+def _print_name_value(name_value, full_arch_name):
+    """ref: script/Common.py:65-77."""
+    table = tabulate(
+        [[full_arch_name] + ["{:.4f}".format(v) for v in name_value.values()]],
+        tablefmt="pipe", headers=["Model"] + list(name_value.keys()),
+        numalign="left")
+    logger.info("=> Result Table: \n" + table)

@@ -1,0 +1,118 @@
+"""Image/visualization utilities.
+
+ref: utils/images.py:14-174, utils/evaluate.py:244-338 (result-image dumps),
+configs/constants.py (skeleton pairs/colors).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Optional, Sequence
+
+import numpy as np
+
+from otpose_tpu.data.posetrack import IMAGENET_MEAN, IMAGENET_STD
+
+# PoseTrack-COCO-17 skeleton (ref: configs/constants.py:59-78)
+KEYPOINT_PAIRS = [
+    (2, 1), (1, 6), (1, 5), (6, 8), (8, 10), (5, 7), (7, 9),
+    (6, 12), (5, 11), (12, 14), (14, 16), (11, 13), (13, 15),
+]
+_COLORS = [
+    (228, 63, 118), (255, 255, 0), (255, 255, 0), (0, 0, 255), (0, 0, 255),
+    (0, 255, 0), (0, 255, 0), (128, 0, 128), (135, 206, 235), (128, 0, 128),
+    (128, 0, 128), (135, 206, 235), (135, 206, 235),
+]
+
+
+def tensor2im(t: np.ndarray) -> np.ndarray:
+    """Normalized (H, W, 3) or (3, H, W) float tensor -> uint8 BGR image
+    (ref: utils/images.py:14-37, utils/transform.py:129-143)."""
+    t = np.asarray(t)
+    if t.ndim == 3 and t.shape[0] == 3:
+        t = np.transpose(t, (1, 2, 0))
+    img = (t * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return img[..., ::-1]  # RGB -> BGR
+
+
+def draw_skeleton(image: np.ndarray, pose: np.ndarray,
+                  conf: Optional[np.ndarray] = None, vis_thre: float = 0.0,
+                  thickness: int = 2) -> np.ndarray:
+    """Draw the 17-joint skeleton on a BGR image (ref: utils/images.py:40-110)."""
+    import cv2
+
+    img = image.copy()
+    for (a, b), color in zip(KEYPOINT_PAIRS, _COLORS):
+        if conf is not None and (conf[a] < vis_thre or conf[b] < vis_thre):
+            continue
+        pa = (int(pose[a, 0]), int(pose[a, 1]))
+        pb = (int(pose[b, 0]), int(pose[b, 1]))
+        cv2.line(img, pa, pb, color, thickness, cv2.LINE_AA)
+    for j in range(len(pose)):
+        if conf is not None and conf[j] < vis_thre:
+            continue
+        cv2.circle(img, (int(pose[j, 0]), int(pose[j, 1])), 3, (0, 165, 255), -1)
+    return img
+
+
+def heatmaps_overlay(image: np.ndarray, heatmaps: np.ndarray) -> np.ndarray:
+    """Sum-of-heatmaps jet overlay for debugging dumps
+    (ref: utils/evaluate.py:244-338)."""
+    import cv2
+
+    hm = np.asarray(heatmaps)
+    if hm.ndim == 3 and hm.shape[-1] < hm.shape[0]:
+        hm = hm.transpose(2, 0, 1) if hm.shape[-1] <= 32 else hm
+    summed = np.clip(hm.sum(axis=0), 0, 1)
+    summed = cv2.resize((summed * 255).astype(np.uint8),
+                        (image.shape[1], image.shape[0]))
+    color = cv2.applyColorMap(summed, cv2.COLORMAP_JET)
+    return cv2.addWeighted(image, 0.6, color, 0.4, 0)
+
+
+def save_result_images(out_dir: str, img, pose, conf, heatmaps=None,
+                       name: str = "") -> str:
+    """Dump skeleton + heatmap overlays (ref: utils/evaluate.py:244-338)."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    if img.dtype != np.uint8:
+        img = tensor2im(img)
+    vis = draw_skeleton(img, pose, conf)
+    if heatmaps is not None:
+        vis = heatmaps_overlay(vis, heatmaps)
+    path = osp.join(out_dir, f"{name}result.jpg")
+    cv2.imwrite(path, vis)
+    return path
+
+
+def video2images(video_path: str, out_dir: str) -> int:
+    """Split a video into numbered jpgs (ref: utils/images.py:136-155)."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    cap = cv2.VideoCapture(video_path)
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        cv2.imwrite(osp.join(out_dir, f"{n:08d}.jpg"), frame)
+        n += 1
+    cap.release()
+    return n
+
+
+def images2video(image_paths: Sequence[str], out_path: str, fps: int = 25):
+    """Join frames into a video (ref: utils/images.py:158-174)."""
+    import cv2
+
+    first = cv2.imread(image_paths[0])
+    h, w = first.shape[:2]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for p in image_paths:
+        writer.write(cv2.imread(p))
+    writer.release()
+    return out_path

@@ -1,0 +1,73 @@
+"""End-to-end CLI integration: synthetic dataset -> train.py 1 epoch ->
+checkpoints -> eval.py AP pipeline (SURVEY.md §4 integration tier)."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from otpose_tpu.config import default_parse_args
+from otpose_tpu.utils.testing import tiny_otpose_cfg
+
+from tests.helpers.synthetic_data import make_synthetic_posetrack
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    # 2 videos x 4 frames x 2 people = 16 samples: divisible by the 8-device
+    # data mesh at batch-per-device 1
+    json_dir, img_dir, annot_dir = make_synthetic_posetrack(
+        str(root), num_videos=2, frames_per_video=4, people_per_frame=2,
+        img_w=96, img_h=96)
+    cfg = tiny_otpose_cfg(image_size=32, heatmap_size=8)
+    cfg.EXPERIMENT_NAME = "tiny"
+    cfg.OUTPUT_DIR = str(root / "output")
+    cfg.DATASET.NAME = "PoseTrack"
+    cfg.DATASET.JSON_DIR = json_dir
+    cfg.DATASET.IMG_DIR = img_dir
+    cfg.DATASET.TEST_IMG_DIR = img_dir
+    cfg.DATASET.COLOR_RGB = True
+    cfg.VAL.ANNOT_DIR = annot_dir
+    cfg.VAL.USE_GT_BBOX = True
+    cfg.VAL.BATCH_SIZE_PER_GPU = 1
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 1
+    cfg.TRAIN.END_EPOCH = 1
+    cfg.TRAIN.SAVE_MODEL_PER_EPOCH = 1
+    cfg.TRAIN.PROB_HALF_BODY = 0.0
+    cfg.WORKERS = 2
+    cfg.PRINT_FREQ = 1
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.DONATE_STATE = False
+    yaml_path = root / "tiny.yaml"
+    yaml_path.write_text(cfg.dump())
+    return root, str(yaml_path)
+
+
+def test_train_then_eval(workspace):
+    root, yaml_path = workspace
+    args = default_parse_args(["--cfg", yaml_path, "--root_dir", str(root)])
+
+    from otpose_tpu.cli.train import Train
+
+    trainer = Train(args)
+    state = trainer.train()
+    assert int(state.step) > 0
+
+    ckpt_dir = trainer.checkpoints_save_folder
+    names = os.listdir(ckpt_dir)
+    assert any(n.startswith("epoch_") for n in names), names
+
+    from otpose_tpu.cli.eval import Eval
+
+    ev = Eval("validate", default_parse_args(["--cfg", yaml_path,
+                                              "--root_dir", str(root)]))
+    results = ev.eval()
+    assert len(results) == 1
+    _, name_values, mean_ap = results[0]
+    assert np.isfinite(mean_ap)
+    assert set(name_values.keys()) == {"Head", "Shoulder", "Elbow", "Wrist",
+                                       "Hip", "Knee", "Ankle", "Mean"}
