@@ -57,26 +57,24 @@ def _measure(batch: int, iters: int, compute_dtype) -> float:
                     jnp.float32)
     margin = jnp.ones((batch, 4), jnp.float32)
 
-    def chained(params, state, x, margin):
-        def body(carry, _):
-            y = fn(params, state, x + carry * 0.0, margin)
-            return jnp.mean(y), None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
+    def fetch(out):
+        # device executes enqueued programs in order; fetching one element of
+        # the last output fences everything before it
+        return float(np.asarray(out[:1, :1, :1, :1]).ravel()[0])
 
-    run = jax.jit(chained)
-    float(run(params, state, x, margin))  # compile + warm
-    rtt_probe = jax.jit(lambda x: jnp.float32(1.0))
-    float(rtt_probe(x))
-    t0 = time.perf_counter()
+    fetch(fn(params, state, x, margin))  # compile
+    fetch(fn(params, state, x, margin))  # warm
+
+    rtt_probe = jax.jit(lambda x: x[:1, :1, :1, :1] * 1.0)
     rtt = 0.0
     for _ in range(3):
         s = time.perf_counter()
-        float(rtt_probe(x))
+        float(np.asarray(rtt_probe(x)).ravel()[0])
         rtt += (time.perf_counter() - s) / 3
 
     t0 = time.perf_counter()
-    float(run(params, state, x, margin))
+    outs = [fn(params, state, x, margin) for _ in range(iters)]
+    fetch(outs[-1])
     dt = max(time.perf_counter() - t0 - rtt, 1e-6)
     return batch * iters / dt
 

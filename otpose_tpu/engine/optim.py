@@ -130,3 +130,21 @@ def make_optimizer(params: Dict[str, jnp.ndarray], cfg,
         raise ValueError(f"Unsupported optimizer {name}")
     chain.append(scale_by_group_lr())
     return optax.chain(*chain)
+
+
+class ModelEma:
+    """Exponential moving average of parameters
+    (ref: thirdparty/utils/train_utils.py:240-262)."""
+
+    def __init__(self, params, decay: float = 0.999):
+        import jax
+
+        self.decay = decay
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._update = jax.jit(
+            lambda ema, p: jax.tree_util.tree_map(
+                lambda e, x: self.decay * e + (1.0 - self.decay) * x, ema, p))
+
+    def update(self, params):
+        self.params = self._update(self.params, params)
+        return self.params

@@ -101,13 +101,23 @@ def affine_drop_path(ctx: Ctx, name: str, x: jnp.ndarray, drop_prob: float) -> j
 
 def transformer_block(ctx: Ctx, x: jnp.ndarray, n_head: int, *,
                       ds_stride: int = 1, attn_pdrop: float = 0.0,
-                      proj_pdrop: float = 0.0, path_pdrop: float = 0.0) -> jnp.ndarray:
+                      proj_pdrop: float = 0.0, path_pdrop: float = 0.0,
+                      mha_win_size: int = -1, use_rel_pe: bool = False) -> jnp.ndarray:
     """Pre-LN transformer block with conv attention (ref: blocks.py:185-280).
 
-    x: (B, T, C) -> (B, T/ds_stride, C).
+    x: (B, T, C) -> (B, T/ds_stride, C).  ``mha_win_size > 1`` selects the
+    Longformer-style local attention (ref: blocks.py:212-231).
     """
-    out = masked_mhca(ctx.sub("attn"), ctx.layer_norm_c("ln1", x), n_head,
-                      stride=ds_stride, attn_pdrop=attn_pdrop, proj_pdrop=proj_pdrop)
+    normed = ctx.layer_norm_c("ln1", x)
+    if mha_win_size > 1:
+        out = local_masked_mhca(ctx.sub("attn"), normed, n_head,
+                                window_size=mha_win_size, stride=ds_stride,
+                                attn_pdrop=attn_pdrop, proj_pdrop=proj_pdrop,
+                                use_rel_pe=use_rel_pe)
+    else:
+        out = masked_mhca(ctx.sub("attn"), normed, n_head,
+                          stride=ds_stride, attn_pdrop=attn_pdrop,
+                          proj_pdrop=proj_pdrop)
     if ds_stride > 1:
         skip = max_pool1d(x, kernel=ds_stride + 1, stride=ds_stride,
                           padding=(ds_stride + 1) // 2)
@@ -156,3 +166,82 @@ def init_transformer_block(params, kg: core.KeyGen, prefix: str, n_embd: int,
     if path_pdrop > 0.0:
         params[f"{p}.drop_path_attn.scale"] = 1e-4 * jnp.ones((n_embd,))
         params[f"{p}.drop_path_mlp.scale"] = 1e-4 * jnp.ones((n_embd,))
+
+
+def local_masked_mhca(ctx: Ctx, x: jnp.ndarray, n_head: int, window_size: int,
+                      stride: int = 1, attn_pdrop: float = 0.0,
+                      proj_pdrop: float = 0.0, use_rel_pe: bool = False) -> jnp.ndarray:
+    """Sliding-window (Longformer-style) local attention.
+
+    ref: blocks.py:479-833 (LocalMaskedMHCA).  Unlike ``masked_mhca``, the
+    reference transposes q/k/v properly here (ref: blocks.py:784-790), so
+    this IS token attention over a +-w window.  The reference realizes the
+    band with as_strided chunk tricks; on TPU we express the same band
+    directly as 2w+1 shifted dot products — static shapes, no gathers, and
+    XLA fuses the shifts.  Edge positions are masked with -inf before the
+    softmax exactly like `_mask_invalid_locations` (ref: blocks.py:613-625).
+    """
+    b, t, c = x.shape
+    hs = c // n_head
+    scale = 1.0 / np.sqrt(hs)
+    w = window_size // 2
+
+    q = ctx.layer_norm_c("query_norm", ctx.conv1d("query_conv", x, stride=stride,
+                                                  padding=1, groups=c))
+    k = ctx.layer_norm_c("key_norm", ctx.conv1d("key_conv", x, stride=stride,
+                                                padding=1, groups=c))
+    v = ctx.layer_norm_c("value_norm", ctx.conv1d("value_conv", x, stride=stride,
+                                                  padding=1, groups=c))
+    q = _dense_1x1(ctx, "query", q)
+    k = _dense_1x1(ctx, "key", k)
+    v = _dense_1x1(ctx, "value", v)
+
+    tq = q.shape[1]
+    qh = (q * scale).reshape(b, tq, n_head, hs).transpose(0, 2, 1, 3)  # (B,nh,T,hs)
+    kh = k.reshape(b, tq, n_head, hs).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, tq, n_head, hs).transpose(0, 2, 1, 3)
+
+    # banded scores: att[..., t, d] = q_t . k_{t+d-w}, d in [0, 2w]
+    idx = jnp.arange(tq)
+    scores = []
+    for d in range(-w, w + 1):
+        shifted = jnp.roll(kh, -d, axis=2)
+        s = jnp.einsum("bhtd,bhtd->bht", qh, shifted,
+                       preferred_element_type=jnp.float32,
+                       precision=core._mxu_precision(ctx.compute_dtype))
+        valid = (idx + d >= 0) & (idx + d < tq)
+        s = jnp.where(valid[None, None, :], s, -jnp.inf)
+        scores.append(s)
+    att = jnp.stack(scores, axis=-1)                     # (B, nh, T, 2w+1)
+
+    if use_rel_pe and ctx.has("rel_pe"):
+        # stored (1, 1, nh, window) in torch -> converter flattens 3-dim LN-
+        # like shapes only for (1,C,1); rel_pe stays (1,1,nh,window)
+        rel = ctx.param("rel_pe")
+        att = att + jnp.transpose(rel, (0, 2, 1, 3))     # (1, nh, 1, 2w+1)
+
+    att = att - jnp.max(att, axis=-1, keepdims=True)
+    att = jnp.exp(att)
+    att = att / jnp.sum(att, axis=-1, keepdims=True)
+    att = ctx.dropout(att.astype(x.dtype), attn_pdrop)
+
+    out = jnp.zeros_like(qh)
+    for j, d in enumerate(range(-w, w + 1)):
+        shifted_v = jnp.roll(vh, -d, axis=2)
+        out = out + att[..., j:j + 1] * shifted_v
+
+    out = out.transpose(0, 2, 1, 3).reshape(b, tq, c)
+    out = _dense_1x1(ctx, "proj", out)
+    return ctx.dropout(out, proj_pdrop)
+
+
+def init_local_transformer_block(params, kg: core.KeyGen, prefix: str, n_embd: int,
+                                 n_head: int, window_size: int,
+                                 path_pdrop: float = 0.0, use_rel_pe: bool = False):
+    """Params for a TransformerBlock using LocalMaskedMHCA."""
+    init_transformer_block(params, kg, prefix, n_embd, path_pdrop)
+    if use_rel_pe:
+        # trunc_normal_(std=sqrt(2/n_embd)) in the reference (blocks.py:580-582)
+        std = (2.0 / n_embd) ** 0.5
+        params[f"{prefix}.attn.rel_pe"] = core.normal_init(
+            kg(), (1, 1, n_head, window_size), std)

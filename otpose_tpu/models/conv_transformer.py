@@ -35,6 +35,8 @@ class ConvTransformerSpec:
     proj_pdrop: float = 0.0
     path_pdrop: float = 0.0
     use_abs_pe: bool = True
+    mha_win_size: tuple = ()      # per-level window sizes; empty/<=1 => global
+    use_rel_pe: bool = False
 
     @property
     def num_outputs(self) -> int:
@@ -70,11 +72,17 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
                 pe = core.interpolate_linear_to(pe, t)
             tokens = tokens + pe[:, :t]
 
+    def _win(level):
+        if not spec.mha_win_size:
+            return -1
+        return spec.mha_win_size[min(level, len(spec.mha_win_size) - 1)]
+
     for i in range(spec.arch[1]):
         tokens = blocks.transformer_block(
             ctx.sub(f"stem.{i}"), tokens, spec.n_head,
             attn_pdrop=spec.attn_pdrop, proj_pdrop=spec.proj_pdrop,
-            path_pdrop=spec.path_pdrop)
+            path_pdrop=spec.path_pdrop, mha_win_size=_win(0),
+            use_rel_pe=spec.use_rel_pe)
 
     out_feats = [tokens]
     for i in range(spec.arch[2]):
@@ -82,7 +90,8 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
             ctx.sub(f"branch.{i}"), tokens, spec.n_head,
             ds_stride=spec.scale_factor,
             attn_pdrop=spec.attn_pdrop, proj_pdrop=spec.proj_pdrop,
-            path_pdrop=spec.path_pdrop)
+            path_pdrop=spec.path_pdrop, mha_win_size=_win(1 + i),
+            use_rel_pe=spec.use_rel_pe)
         out_feats.append(core.upsample_linear_1d(tokens, t))
     return out_feats
 
@@ -103,10 +112,27 @@ def init_conv_transformer(key, spec: ConvTransformerSpec):
             params[f"embd.{i}.bias"] = jnp.zeros((spec.n_embd,))
         if spec.with_ln:
             blocks._add_ln(params, f"embd_norm.{i}", spec.n_embd)
+    def _win(level):
+        if not spec.mha_win_size:
+            return -1
+        return spec.mha_win_size[min(level, len(spec.mha_win_size) - 1)]
+
     for i in range(spec.arch[1]):
-        blocks.init_transformer_block(params, kg, f"stem.{i}", spec.n_embd,
-                                      spec.path_pdrop)
+        if _win(0) > 1:
+            blocks.init_local_transformer_block(params, kg, f"stem.{i}",
+                                                spec.n_embd, spec.n_head,
+                                                _win(0), spec.path_pdrop,
+                                                spec.use_rel_pe)
+        else:
+            blocks.init_transformer_block(params, kg, f"stem.{i}", spec.n_embd,
+                                          spec.path_pdrop)
     for i in range(spec.arch[2]):
-        blocks.init_transformer_block(params, kg, f"branch.{i}", spec.n_embd,
-                                      spec.path_pdrop)
+        if _win(1 + i) > 1:
+            blocks.init_local_transformer_block(params, kg, f"branch.{i}",
+                                                spec.n_embd, spec.n_head,
+                                                _win(1 + i), spec.path_pdrop,
+                                                spec.use_rel_pe)
+        else:
+            blocks.init_transformer_block(params, kg, f"branch.{i}", spec.n_embd,
+                                          spec.path_pdrop)
     return params, state

@@ -43,6 +43,9 @@ def convert_state_dict(sd: Dict[str, "np.ndarray"]) -> Tuple[Dict[str, np.ndarra
         if name.endswith("pos_embd"):
             state[name] = np.transpose(arr, (0, 2, 1))  # (1, C, T) -> (1, T, C)
             continue
+        if name.endswith("rel_pe"):
+            params[name] = arr                           # (1, 1, nh, window) kept
+            continue
         if arr.ndim == 4:
             arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
         elif arr.ndim == 3:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding", "dilation",
                                              "deformable_groups"))
-def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarray,
+def modulated_deform_conv_gather(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarray,
                           weight: jnp.ndarray, bias: jnp.ndarray | None = None, *,
                           kernel: int = 3, stride: int = 1, padding: int = 1,
                           dilation: int = 1, deformable_groups: int = 1) -> jnp.ndarray:
@@ -130,3 +130,82 @@ def identity_filler_weight(channels: int, kernel: int = 3) -> jnp.ndarray:
     ctr = kernel // 2
     diag = jnp.arange(channels)
     return w.at[ctr, ctr, diag, diag].set(1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding", "dilation",
+                                             "deformable_groups"))
+def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarray,
+                          weight: jnp.ndarray, bias: jnp.ndarray | None = None, *,
+                          kernel: int = 3, stride: int = 1, padding: int = 1,
+                          dilation: int = 1, deformable_groups: int = 1) -> jnp.ndarray:
+    """DCNv2 forward, gather-free TPU formulation (same signature/semantics
+    as ``modulated_deform_conv_gather``, validated against the same oracle).
+
+    Bilinear sampling is separable: with tent weights
+    ``w(s, i) = relu(1 - |s - i|)`` the sample at (sy, sx) equals
+    ``sum_y sum_x w(sy, y) * w(sx, x) * img[y, x]`` — exactly zero-padded
+    bilinear including the borders (no valid-masks needed: out-of-range
+    samples get all-zero tents).  The y-contraction becomes an MXU matmul and
+    the x-contraction a VPU row-reduction; a ``lax.scan`` over the K*K taps
+    keeps the transient tent tensors small.  TPU gathers (the naive
+    formulation) are ~400x slower for this shape.
+
+    Gradients: d(tent)/ds = -sign(s - i) on the support, which reproduces the
+    reference backward's bilinear coordinate gradients
+    (ref: deform_conv_cuda_kernel.cu:54-126) via plain autodiff.
+    """
+    b, h, w, c = x.shape
+    k2 = kernel * kernel
+    dg = deformable_groups
+    cpg = c // dg
+    bo, ho, wo, _ = offsets.shape
+    p = ho * wo
+
+    f32 = jnp.float32
+    # base sampling grid
+    ys = (jnp.arange(ho, dtype=f32) * stride - padding)
+    xs = (jnp.arange(wo, dtype=f32) * stride - padding)
+    base_y = jnp.broadcast_to(ys[:, None], (ho, wo)).reshape(p)
+    base_x = jnp.broadcast_to(xs[None, :], (ho, wo)).reshape(p)
+
+    off = offsets.reshape(b, p, dg, k2, 2).astype(f32)
+    m_all = mask.reshape(b, p, dg, k2).astype(f32)
+
+    iota_h = jnp.arange(h, dtype=f32)
+    iota_w = jnp.arange(w, dtype=f32)
+    xg = x.reshape(b, h, w, dg, cpg).astype(f32)
+    # weight (Kh, Kw, C, O) -> (K2, dg, cpg, O)
+    wk_all = weight.reshape(k2, dg, cpg, -1).astype(f32)
+
+    ki = jnp.arange(k2, dtype=f32)
+    tap_dy_all = jnp.floor(ki / kernel) * dilation
+    tap_dx_all = (ki % kernel) * dilation
+
+    def tap_body(carry, k_idx):
+        acc = carry
+        sy = base_y[None, :, None] + tap_dy_all[k_idx] + off[:, :, :, k_idx, 0]
+        sx = base_x[None, :, None] + tap_dx_all[k_idx] + off[:, :, :, k_idx, 1]
+        # tent weights (B, P, dg, H) / (B, P, dg, W)
+        wy = jnp.maximum(1.0 - jnp.abs(sy[..., None] - iota_h), 0.0)
+        wx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - iota_w), 0.0)
+        # y-contraction on the MXU: (B, P, dg, H) x (B, H, W, dg, cpg)
+        a = jnp.einsum("bpgy,bywgc->bpgwc", wy, xg,
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+        # x-contraction (VPU): (B, P, dg, W, cpg) * (B, P, dg, W)
+        sampled = jnp.einsum("bpgwc,bpgw->bpgc", a, wx,
+                             preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
+        sampled = sampled * m_all[:, :, :, k_idx, None]
+        # weight contraction for this tap
+        acc = acc + jnp.einsum("bpgc,gco->bpo", sampled, wk_all[k_idx],
+                               preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
+        return acc, None
+
+    out0 = jnp.zeros((b, p, weight.shape[-1]), f32)
+    out, _ = jax.lax.scan(tap_body, out0, jnp.arange(k2))
+    out = out.reshape(b, ho, wo, -1)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)

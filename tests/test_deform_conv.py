@@ -140,3 +140,21 @@ def test_gradients_flow(rng):
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_tent_matches_gather_formulation(rng):
+    """The MXU tent-matmul path must agree with the gather path bit-for-bit
+    (both validated against the dense oracle independently)."""
+    from otpose_tpu.ops.deform_conv import modulated_deform_conv_gather
+    import jax.numpy as jnp
+
+    b, c, h, w, dg = 2, 6, 10, 9, 3
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    offsets = jnp.asarray((rng.randn(b, h, w, dg * 18) * 3).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, h, w, dg * 9).astype(np.float32))
+    weight = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32))
+    kw = dict(kernel=3, stride=1, padding=2, dilation=2, deformable_groups=dg)
+    y_tent = modulated_deform_conv(x, offsets, mask, weight, None, **kw)
+    y_gather = modulated_deform_conv_gather(x, offsets, mask, weight, None, **kw)
+    np.testing.assert_allclose(np.asarray(y_tent), np.asarray(y_gather),
+                               atol=2e-4)
