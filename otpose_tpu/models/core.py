@@ -91,6 +91,10 @@ class Ctx:
                groups: int = 1) -> jnp.ndarray:
         w = self.param(f"{name}.weight")
         b = self.params.get(self._key(f"{name}.bias"))
+        if groups == x.shape[-1] and w.shape[0] == 3 and padding == 1:
+            # depthwise k=3: XLA's grouped-conv lowering is slow on TPU; three
+            # shifted elementwise multiply-adds hit the VPU directly
+            return depthwise_conv1d_k3(x, w, b, stride=stride)
         return conv1d(x, w, b, stride=stride, padding=padding, groups=groups,
                       compute_dtype=self.compute_dtype)
 
@@ -188,6 +192,29 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None, *,
     return y
 
 
+def depthwise_conv1d_k3(x: jnp.ndarray, w: jnp.ndarray,
+                        b: Optional[jnp.ndarray] = None, *,
+                        stride: int = 1) -> jnp.ndarray:
+    """Depthwise 1-D conv, kernel 3, padding 1, on (B, T, C) with (3, 1, C)
+    kernel — as shifted elementwise multiply-adds (VPU) instead of XLA's slow
+    grouped-conv lowering."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    t = x.shape[1]
+    w = w.astype(x.dtype)
+    if stride == 1:
+        y = (xp[:, 0:t] * w[0, 0] + xp[:, 1:t + 1] * w[1, 0]
+             + xp[:, 2:t + 2] * w[2, 0])
+    else:
+        to = (t + 2 - 3) // stride + 1
+        end = (to - 1) * stride + 1
+        y = (xp[:, 0:end:stride][:, :to] * w[0, 0]
+             + xp[:, 1:end + 1:stride][:, :to] * w[1, 0]
+             + xp[:, 2:end + 2:stride][:, :to] * w[2, 0])
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def batch_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                running_mean: jnp.ndarray, running_var: jnp.ndarray, *,
                train: bool, momentum: float = BN_MOMENTUM, eps: float = BN_EPS,
@@ -200,10 +227,11 @@ def batch_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     cross-replica statistics via psum (sync-BN over the data mesh axis).
     """
     reduce_axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)  # statistics in f32 even for bf16 activations
     if train:
         n = np.prod([x.shape[a] for a in reduce_axes])
-        mean = jnp.mean(x, axis=reduce_axes)
-        mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
+        mean = jnp.mean(xf, axis=reduce_axes)
+        mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
         if sync_axis is not None:
             mean = jax.lax.pmean(mean, sync_axis)
             mean_sq = jax.lax.pmean(mean_sq, sync_axis)
@@ -216,7 +244,7 @@ def batch_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
         mean, var = running_mean, running_var
         new_mean, new_var = running_mean, running_var
     inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * (inv * weight) + bias
+    y = (xf - mean) * (inv * weight) + bias
     return y.astype(x.dtype), new_mean, new_var
 
 
@@ -226,11 +254,12 @@ def layer_norm_c(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
 
     x: (B, T, C) normalized over C.  weight/bias: (C,).
     """
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    res = x - mu
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    res = xf - mu
     sigma = jnp.mean(jnp.square(res), axis=-1, keepdims=True)
     out = res / jnp.sqrt(sigma + eps)
-    return out * weight + bias
+    return (out * weight + bias).astype(x.dtype)
 
 
 def relu(x: jnp.ndarray) -> jnp.ndarray:

@@ -29,7 +29,9 @@ from otpose_tpu.models.conv_transformer import (ConvTransformerSpec,
                                                 init_conv_transformer)
 from otpose_tpu.models.core import Ctx, KeyGen
 from otpose_tpu.models.hrnet import HRNetSpec, hrnet_forward, init_hrnet
-from otpose_tpu.ops.deform_conv import identity_filler_weight, modulated_deform_conv
+from otpose_tpu.ops.deform_conv import (identity_filler_weight,
+                                         modulated_deform_conv,
+                                         modulated_deform_conv_multi)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +120,9 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
     j = spec.num_joints
 
     frames = jnp.concatenate(jnp.split(x, 5, axis=-1), axis=0)  # (5B, H, W, 3)
+    # bf16 activations end-to-end when compute_dtype is bf16 (halves HBM
+    # traffic); norm statistics stay f32 inside the layers
+    frames = frames.astype(ctx.compute_dtype)
     rough = hrnet_forward(ctx.sub("rough_pose_estimation_net"), frames, spec.hrnet)
     cur, prev, nxt, pprev, nnext = jnp.split(rough, 5, axis=0)
 
@@ -175,21 +180,25 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
         jnp.concatenate([branches, def_heatmaps], axis=-1),
         j * 3, spec.def_ch, spec.offset_mask_combine_blocks)
 
-    warped_sum = None
+    offsets_list, masks_list = [], []
     for d_idx, dilation in enumerate(spec.dilations):
-        offsets = ctx.conv2d(f"offsets_list.{d_idx}.0", trans, padding=dilation,
-                             dilation=dilation, bias=False)
-        masks = ctx.conv2d(f"masks_list.{d_idx}.0", trans, padding=dilation,
-                           dilation=dilation, bias=False)
-        warped = modulated_deform_conv(
-            def_heatmaps, offsets, masks,
-            ctx.param(f"modulated_deform_conv_list.{d_idx}.deform_conv.weight"),
-            ctx.param(f"modulated_deform_conv_list.{d_idx}.deform_conv.bias"),
-            kernel=3, stride=1, padding=dilation, dilation=dilation,
-            deformable_groups=j)
-        warped_sum = warped if warped_sum is None else warped_sum + warped
-
-    output = warped_sum * (1.0 / len(spec.dilations))
+        offsets_list.append(ctx.conv2d(f"offsets_list.{d_idx}.0", trans,
+                                       padding=dilation, dilation=dilation,
+                                       bias=False))
+        masks_list.append(ctx.conv2d(f"masks_list.{d_idx}.0", trans,
+                                     padding=dilation, dilation=dilation,
+                                     bias=False))
+    weights = jnp.stack([
+        ctx.param(f"modulated_deform_conv_list.{d}.deform_conv.weight")
+        for d in range(len(spec.dilations))])
+    biases = jnp.stack([
+        ctx.param(f"modulated_deform_conv_list.{d}.deform_conv.bias")
+        for d in range(len(spec.dilations))])
+    output = modulated_deform_conv_multi(
+        def_heatmaps, offsets_list, masks_list, weights, biases,
+        kernel=3, stride=1, padding_list=tuple(spec.dilations),
+        dilation_list=tuple(spec.dilations), deformable_groups=j)
+    output = output.astype(jnp.float32)
     return output, rough, intersection, prev_b, context_encoding, squeezed, total_b
 
 

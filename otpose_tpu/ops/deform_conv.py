@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -209,3 +210,76 @@ def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarra
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding_list",
+                                             "dilation_list", "deformable_groups"))
+def modulated_deform_conv_multi(x: jnp.ndarray, offsets_list, masks_list,
+                                weights, biases, *, kernel: int = 3,
+                                stride: int = 1, padding_list=(1,),
+                                dilation_list=(1,),
+                                deformable_groups: int = 1) -> jnp.ndarray:
+    """Mean of D modulated deformable convs over the same input in ONE scan
+    of D*K*K taps (the OTPose refinement averages its 5 dilation branches,
+    ref: OTPose.py:387-392; fusing shares the input staging and removes
+    per-branch launch overhead).
+
+    offsets_list/masks_list: length-D sequences of (B, Ho, Wo, dg*{2,1}*K2);
+    weights: (D, Kh, Kw, C, O); biases: (D, O) or None.
+    Returns the average of the D branch outputs.
+    """
+    d = len(offsets_list)
+    b, h, w, c = x.shape
+    k2 = kernel * kernel
+    dg = deformable_groups
+    cpg = c // dg
+    bo, ho, wo, _ = offsets_list[0].shape
+    p = ho * wo
+    f32 = jnp.float32
+
+    ys = (jnp.arange(ho, dtype=f32) * stride)
+    xs = (jnp.arange(wo, dtype=f32) * stride)
+    base_y = jnp.broadcast_to(ys[:, None], (ho, wo)).reshape(p)
+    base_x = jnp.broadcast_to(xs[None, :], (ho, wo)).reshape(p)
+
+    off = jnp.stack([o.reshape(b, p, dg, k2, 2) for o in offsets_list]).astype(f32)
+    msk = jnp.stack([m.reshape(b, p, dg, k2) for m in masks_list]).astype(f32)
+    wk = weights.reshape(d, k2, dg, cpg, -1).astype(f32)
+
+    # static per-(dilation, tap) displacement incl. -padding
+    ki = np.arange(k2)
+    tap_table = np.zeros((d * k2, 2), np.float32)
+    for di, (pad, dil) in enumerate(zip(padding_list, dilation_list)):
+        tap_table[di * k2:(di + 1) * k2, 0] = (ki // kernel) * dil - pad
+        tap_table[di * k2:(di + 1) * k2, 1] = (ki % kernel) * dil - pad
+    tap_table = jnp.asarray(tap_table)
+
+    iota_h = jnp.arange(h, dtype=f32)
+    iota_w = jnp.arange(w, dtype=f32)
+    xg = x.reshape(b, h, w, dg, cpg).astype(f32)
+
+    def tap_body(acc, i):
+        di = i // k2
+        k = i % k2
+        sy = base_y[None, :, None] + tap_table[i, 0] + off[di, :, :, :, k, 0]
+        sx = base_x[None, :, None] + tap_table[i, 1] + off[di, :, :, :, k, 1]
+        wy = jnp.maximum(1.0 - jnp.abs(sy[..., None] - iota_h), 0.0)
+        wx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - iota_w), 0.0)
+        a = jnp.einsum("bpgy,bywgc->bpgwc", wy, xg,
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+        sampled = jnp.einsum("bpgwc,bpgw->bpgc", a, wx,
+                             preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
+        sampled = sampled * msk[di, :, :, :, k, None]
+        acc = acc + jnp.einsum("bpgc,gco->bpo", sampled, wk[di, k],
+                               preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST)
+        return acc, None
+
+    out0 = jnp.zeros((b, p, weights.shape[-1]), f32)
+    out, _ = jax.lax.scan(tap_body, out0, jnp.arange(d * k2))
+    out = out / d
+    if biases is not None:
+        out = out + jnp.mean(biases.astype(f32), axis=0)
+    return out.reshape(b, ho, wo, -1).astype(x.dtype)

@@ -158,3 +158,31 @@ def test_tent_matches_gather_formulation(rng):
     y_gather = modulated_deform_conv_gather(x, offsets, mask, weight, None, **kw)
     np.testing.assert_allclose(np.asarray(y_tent), np.asarray(y_gather),
                                atol=2e-4)
+
+
+def test_multi_dilation_equals_mean_of_singles(rng):
+    from otpose_tpu.ops.deform_conv import modulated_deform_conv_multi
+    import jax.numpy as jnp
+
+    b, c, h, w, dg = 2, 4, 8, 8, 4
+    dilations = (1, 2)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    offs = [jnp.asarray((rng.randn(b, h, w, dg * 18) * 2).astype(np.float32))
+            for _ in dilations]
+    msks = [jnp.asarray(rng.rand(b, h, w, dg * 9).astype(np.float32))
+            for _ in dilations]
+    wgts = [jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32))
+            for _ in dilations]
+    bias = [jnp.asarray(rng.randn(c).astype(np.float32)) for _ in dilations]
+
+    singles = [
+        modulated_deform_conv(x, offs[i], msks[i], wgts[i], bias[i], kernel=3,
+                              stride=1, padding=d, dilation=d,
+                              deformable_groups=dg)
+        for i, d in enumerate(dilations)
+    ]
+    expected = sum(np.asarray(s) for s in singles) / len(dilations)
+    fused = modulated_deform_conv_multi(
+        x, offs, msks, jnp.stack(wgts), jnp.stack(bias), kernel=3, stride=1,
+        padding_list=dilations, dilation_list=dilations, deformable_groups=dg)
+    np.testing.assert_allclose(np.asarray(fused), expected, atol=1e-4)
