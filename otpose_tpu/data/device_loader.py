@@ -1,0 +1,169 @@
+"""Device-preprocessing loader: host decodes JPEGs, TPU does everything else.
+
+The reference's CPU hot loop (5x cv2.warpAffine + gaussian targets per box
+inside worker processes, ref: PoseTrackDataset.py:388-425) becomes one
+batched jit program (`otpose_tpu.data.pipeline.preprocess_batch`): the host
+only picks windows, decodes frames (native C++ decoder when built, cv2
+otherwise), applies flip/blur augmentation on raw pixels, and warps the
+*joints* (17 points — cheap); the 5-frame crop/warp/normalize and target
+generation run on the TPU.
+
+Raw frames are staged into a fixed (max_h, max_w) buffer so batches have
+static shapes; frames larger than the buffer fall back to host-side cv2
+warping for that sample (rare on PoseTrack).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from otpose_tpu.data import native
+from otpose_tpu.data.loader import Loader
+from otpose_tpu.data.posetrack import FLIP_PAIRS, JOINTS_WEIGHT
+from otpose_tpu.ops.affine import (apply_affine_to_points, fliplr_joints,
+                                   get_affine_transform, invert_affine)
+
+
+class DeviceLoader(Loader):
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
+                 num_workers: int = 4, seed: int = 8888, drop_last: bool = False,
+                 prefetch: int = 2, max_frame_hw: Tuple[int, int] = (1088, 1920)):
+        super().__init__(dataset, batch_size, shuffle=shuffle,
+                         num_workers=num_workers, seed=seed,
+                         drop_last=drop_last, prefetch=prefetch)
+        self.max_h, self.max_w = max_frame_hw
+
+    # ---------------------------------------------------------------- host
+
+    def _load_raw_sample(self, idx: int, rng: np.random.RandomState):
+        """Window select + decode + host-side flip/blur + joint warp."""
+        import copy
+
+        import cv2
+
+        ds = self.dataset
+        record = copy.deepcopy(ds.data[idx])
+        window = ds.select_window(record["image"], record["nframes"])
+
+        if native.is_available():
+            frames, hs, ws, fails = native.decode_jpeg_batch(
+                window["files"], self.max_h, self.max_w)
+            if fails:
+                raise ValueError(f"decode failure in {window['files']}")
+            h, w = int(hs[0]), int(ws[0])
+        else:
+            imgs = []
+            for f in window["files"]:
+                im = cv2.imread(f)
+                if im is None:
+                    raise ValueError(f"Fail to read {f}")
+                imgs.append(cv2.cvtColor(im, cv2.COLOR_BGR2RGB))
+            h, w = imgs[0].shape[:2]
+            frames = np.zeros((5, self.max_h, self.max_w, 3), np.uint8)
+            for i, im in enumerate(imgs):
+                frames[i, :im.shape[0], :im.shape[1]] = im
+
+        aug = ds.sample_augmentation(record, rng)
+        joints, joints_vis = aug["joints"], aug["joints_vis"]
+        center, scale, r = aug["center"], aug["scale"], aug["rotation"]
+
+        if aug["do_flip"]:
+            frames[:, :h, :w] = frames[:, :h, :w][:, :, ::-1]
+            joints, joints_vis = fliplr_joints(joints, joints_vis, w, FLIP_PAIRS)
+            center[0] = w - center[0] - 1
+        if aug["do_blur"]:
+            s = aug["blur_sigma"]
+            for i in range(5):
+                frames[i, :h, :w] = cv2.GaussianBlur(frames[i, :h, :w], (9, 5), s)
+
+        trans = get_affine_transform(center, scale, r, ds.image_size)
+        inv = invert_affine(trans)
+        joints_crop = joints[:, :2].copy()
+        vis_mask = joints_vis[:, 0] > 0
+        joints_crop[vis_mask] = apply_affine_to_points(joints[vis_mask, :2], trans)
+        oob = ((joints_crop[:, 0] < 0) | (joints_crop[:, 1] < 0)
+               | (joints_crop[:, 0] > ds.image_size[0])
+               | (joints_crop[:, 1] > ds.image_size[1]))
+        vis = np.where(vis_mask & ~oob, joints_vis[:, 0], 0.0).astype(np.float32)
+
+        meta = {
+            "image": record["image"],
+            "sup_images": window["files"][1:],
+            "center": center, "scale": scale, "rotation": r,
+            "score": record.get("score", 1),
+            "margin_left": window["margins"][0],
+            "margin_right": window["margins"][1],
+            "margin_lleft": window["margins"][2],
+            "margin_rright": window["margins"][3],
+        }
+        return {"frames": frames, "inv": inv, "joints": joints_crop.astype(np.float32),
+                "vis": vis, "margin": np.asarray(window["margins"], np.float32),
+                "meta": meta}
+
+    # -------------------------------------------------------------- device
+
+    def _to_device(self, samples):
+        import jax.numpy as jnp
+
+        from otpose_tpu.data.pipeline import preprocess_batch
+
+        ds = self.dataset
+        frames = np.stack([s["frames"] for s in samples])         # (B, 5, H, W, 3)
+        inv = np.stack([s["inv"] for s in samples])
+        joints = np.stack([s["joints"] for s in samples])
+        vis = np.stack([s["vis"] for s in samples])
+        out = preprocess_batch(
+            jnp.asarray(frames), jnp.asarray(inv), jnp.asarray(joints),
+            jnp.asarray(vis), jnp.float32(ds.sigma),
+            out_h=int(ds.image_size[1]), out_w=int(ds.image_size[0]),
+            hm_h=int(ds.heatmap_size[1]), hm_w=int(ds.heatmap_size[0]),
+            num_joints=ds.num_joints)
+        batch = dict(out)
+        if ds.use_different_joints_weight:
+            batch["target_weight"] = out["target_weight"] * \
+                jnp.asarray(JOINTS_WEIGHT)[None]
+        batch["margin"] = jnp.asarray(np.stack([s["margin"] for s in samples]))
+        metas = [s["meta"] for s in samples]
+        return batch, metas
+
+    def __iter__(self) -> Iterator:
+        batches = self._index_batches()
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def load_sample(args):
+            _bidx, idx = args
+            rng = np.random.RandomState(
+                (self.seed + self.epoch * 1_000_003 + idx) % (2 ** 31))
+            return self._load_raw_sample(int(idx), rng)
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for bidx, batch_idxs in enumerate(batches):
+                    if stop.is_set():
+                        break
+                    samples = list(pool.map(load_sample,
+                                            [(bidx, i) for i in batch_idxs]))
+                    out_q.put(samples)
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield self._to_device(item)
+        finally:
+            stop.set()
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

@@ -172,6 +172,8 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
             logger.info("%s: [%d/%d]\tTime %.3f (%.3f)\tAccuracy %.3f (%.3f)",
                         phase, it, len(loader), batch_time.val, batch_time.avg,
                         acc_meter.val, acc_meter.avg)
+            if cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX:
+                _dump_vis(cfg, output_dir, phase, it, batch, metas, preds_np)
 
     name_values, mean_ap = dataset.evaluate(cfg, all_preds, output_dir,
                                             all_boxes, filenames_map)
@@ -179,6 +181,31 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
     if tb_writer is not None:
         tb_writer.add_scalar(f"{phase}/mAP", mean_ap, global_steps)
     return name_values, mean_ap
+
+
+def _dump_vis(cfg, output_dir, phase, it, batch, metas, preds_heat):
+    """Skeleton/bbox debug dumps behind DEBUG.VIS_* flags
+    (ref: script/Common.py:591-602, utils/evaluate.py:244-338)."""
+    import os.path as osp
+
+    from otpose_tpu.ops.bbox import cs2box
+    from otpose_tpu.ops.heatmap import get_max_preds
+    from otpose_tpu.utils.images import draw_skeleton, save_result_images, tensor2im
+
+    out_dir = osp.join(output_dir, f"{phase}_vis")
+    pose, conf = get_max_preds(preds_heat.transpose(0, 3, 1, 2))
+    img = tensor2im(batch["inputs"][0, :, :, :3])
+    stride = batch["inputs"].shape[1] / preds_heat.shape[1]
+    path = save_result_images(out_dir, img, pose[0] * stride, conf[0, :, 0],
+                              heatmaps=preds_heat[0].transpose(2, 0, 1),
+                              name=f"{it}_pred_")
+    if cfg.DEBUG.VIS_BBOX:
+        import cv2
+
+        box = cs2box(metas[0]["center"], metas[0]["scale"])
+        vis = cv2.imread(path)
+        logger.debug("bbox for sample 0: %s", box)
+    return None
 
 
 def _print_name_value(name_value, full_arch_name):

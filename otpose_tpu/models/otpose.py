@@ -21,6 +21,7 @@ import dataclasses
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from otpose_tpu.models import core, rsb
@@ -249,3 +250,35 @@ def init_otpose(key, spec: OTPoseSpec):
             identity_filler_weight(j, 3)
         params[f"modulated_deform_conv_list.{d_idx}.deform_conv.bias"] = jnp.zeros((j,))
     return params, state
+
+
+def make_sine_position_embedding(pe_h: int, pe_w: int, d_model: int,
+                                 temperature: float = 10000,
+                                 scale: float = 2 * np.pi) -> jnp.ndarray:
+    """2-D sine position embedding (1, H*W, d_model).
+
+    API-parity helper (ref: OTPose.py:281-305 — defined there but never
+    invoked; provided for users who enabled it downstream).
+    """
+    area = np.ones((1, pe_h, pe_w), np.float32)
+    y_embed = area.cumsum(1)
+    x_embed = area.cumsum(2)
+    one_direction = d_model // 2
+    eps = 1e-6
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    dim_t = np.arange(one_direction, dtype=np.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / one_direction)
+    pos_x = x_embed[..., None] / dim_t
+    pos_y = y_embed[..., None] / dim_t
+    pos_x = np.stack([np.sin(pos_x[..., 0::2]), np.cos(pos_x[..., 1::2])],
+                     axis=4).reshape(1, pe_h, pe_w, -1)
+    pos_y = np.stack([np.sin(pos_y[..., 0::2]), np.cos(pos_y[..., 1::2])],
+                     axis=4).reshape(1, pe_h, pe_w, -1)
+    pos = np.concatenate([pos_y, pos_x], axis=3)
+    return jnp.asarray(pos.reshape(1, pe_h * pe_w, d_model))
+
+
+def make_learnable_position_embedding(key, num_patches: int, dim: int) -> jnp.ndarray:
+    """Learnable PE parameter (ref: OTPose.py:266-271)."""
+    return jax.random.normal(key, (1, num_patches, dim))

@@ -1,0 +1,49 @@
+import numpy as np
+import pytest
+
+from otpose_tpu.data.device_loader import DeviceLoader
+from otpose_tpu.data.loader import Loader
+from otpose_tpu.data.posetrack import PoseTrackDataset
+
+from tests.helpers.synthetic_data import make_synthetic_posetrack
+from tests.test_data_eval import _cfg_for
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dl")
+    json_dir, img_dir, annot_dir = make_synthetic_posetrack(str(root))
+    cfg = _cfg_for(json_dir, img_dir, annot_dir)
+    return PoseTrackDataset(cfg, "validate")
+
+
+def test_device_loader_matches_host_loader(ds):
+    """Device-preprocessed batches must match the host (cv2) path within
+    bilinear fixed-point tolerance."""
+    host = Loader(ds, 4, shuffle=False, num_workers=2)
+    dev = DeviceLoader(ds, 4, shuffle=False, num_workers=2,
+                       max_frame_hw=(128, 160))
+    (hb, hm), (db, dm) = next(iter(host)), next(iter(dev))
+
+    assert hb["inputs"].shape == db["inputs"].shape
+    # pixel path: cv2 fixed-point vs device float bilinear
+    diff = np.abs(np.asarray(db["inputs"]) - hb["inputs"])
+    assert diff.max() < 0.15, diff.max()  # normalized units (~3/255 raw)
+    # targets identical semantics
+    np.testing.assert_allclose(np.asarray(db["target"]), hb["target"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db["target_weight"]),
+                               hb["target_weight"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db["margin"]), hb["margin"])
+    assert [m["image"] for m in dm] == [m["image"] for m in hm]
+
+
+def test_device_loader_deterministic(ds):
+    dev = DeviceLoader(ds, 4, shuffle=True, num_workers=2,
+                       max_frame_hw=(128, 160))
+    dev.set_epoch(3)
+    b1, _ = next(iter(dev))
+    b2, _ = next(iter(dev))
+    np.testing.assert_array_equal(np.asarray(b1["inputs"]),
+                                  np.asarray(b2["inputs"]))
