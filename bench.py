@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
 
