@@ -89,7 +89,10 @@ def main():
     value = _measure(BATCH, ITERS, dtype)
 
     cpu_clips = None
-    if os.environ.get("BENCH_SKIP_CPU") != "1" and backend != "cpu":
+    if os.path.exists(CPU_BASELINE_CACHE):
+        # the CPU proxy takes ~25 min to compile+run; use the recorded number
+        cpu_clips = json.load(open(CPU_BASELINE_CACHE))["cpu_clips_per_sec"]
+    elif os.environ.get("BENCH_SKIP_CPU") != "1" and backend != "cpu":
         # measure the CPU proxy in a subprocess pinned to CPU
         import subprocess, sys
         code = (
