@@ -109,6 +109,8 @@ def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
             if tb_writer is not None:
                 for k, v in host_metrics.items():
                     tb_writer.add_scalar(f"train/{k}", v, global_steps)
+                if cfg.DEBUG.VIS_TENSORBOARD:
+                    _tb_image_grids(tb_writer, batch, global_steps)
             bsz = batch["inputs"].shape[0]
             logger.info(
                 "Epoch: [%03d][%05d/%05d]\tTime %.3fs (%.3fs)\t"
@@ -136,12 +138,26 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
     idx = 0
 
     end = time.time()
-    for it, (batch, metas) in enumerate(loader):
-        preds_heat, teacher = eval_fn(
-            params, model_state,
-            {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")})
-        preds_np = np.asarray(preds_heat)        # (B, Hh, Hw, J)
-        target_np = batch["target"]
+
+    def _iter_pipelined():
+        """One-deep pipeline: enqueue batch i+1's forward before fetching
+        batch i's results, overlapping device compute with the host-side
+        decode/accumulate work (and hiding the fetch RTT)."""
+        pending = None
+        for batch, metas in loader:
+            heat = eval_fn(params, model_state,
+                           {k: jnp.asarray(batch[k])
+                            for k in ("inputs", "margin")})[0]
+            if pending is not None:
+                p_heat, p_batch, p_metas = pending
+                yield np.asarray(p_heat), p_batch, p_metas
+            pending = (heat, batch, metas)
+        if pending is not None:
+            p_heat, p_batch, p_metas = pending
+            yield np.asarray(p_heat), p_batch, p_metas
+
+    for it, (preds_np, batch, metas) in enumerate(_iter_pipelined()):
+        target_np = np.asarray(batch["target"])
 
         # PCK meter on NCHW layout
         _, avg_acc, cnt, _ = accuracy(
@@ -181,6 +197,23 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
     if tb_writer is not None:
         tb_writer.add_scalar(f"{phase}/mAP", mean_ap, global_steps)
     return name_values, mean_ap
+
+
+def _tb_image_grids(tb_writer, batch, global_steps, max_images: int = 6):
+    """Input-frame and GT-heatmap grids for tensorboard
+    (ref: script/Common.py:455-589, gated by DEBUG.VIS_TENSORBOARD)."""
+    from otpose_tpu.utils.images import tensor2im
+
+    inputs = np.asarray(batch["inputs"])[:max_images]
+    imgs = np.stack([tensor2im(x[:, :, :3])[..., ::-1] for x in inputs])  # RGB
+    tb_writer.add_images("train/input_images", imgs, global_steps,
+                         dataformats="NHWC")
+    target = np.asarray(batch["target"])[:max_images]        # (N, Hh, Hw, J)
+    heat = target.max(axis=-1, keepdims=True)
+    heat = (heat / np.maximum(heat.max(axis=(1, 2, 3), keepdims=True), 1e-6)
+            * 255).astype(np.uint8)
+    tb_writer.add_images("train/gt_heatmaps", heat, global_steps,
+                         dataformats="NHWC")
 
 
 def _dump_vis(cfg, output_dir, phase, it, batch, metas, preds_heat):

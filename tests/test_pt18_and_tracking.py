@@ -1,0 +1,101 @@
+"""PoseTrack18 path (6-digit 0-based frames) + MOT tracking metrics."""
+
+import numpy as np
+import pytest
+
+from otpose_tpu.data.posetrack import PoseTrackDataset
+from otpose_tpu.evaluate.tracking import MotAccumulator, evaluate_tracking
+
+from tests.helpers.synthetic_data import make_synthetic_posetrack
+from tests.test_data_eval import _cfg_for
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def synth18(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth18")
+    return make_synthetic_posetrack(str(root), is_2018=True)
+
+
+def test_pt18_window_selection(synth18):
+    json_dir, img_dir, annot_dir = synth18
+    cfg = _cfg_for(json_dir, img_dir, annot_dir)
+    cfg.DATASET.IS_2018 = True
+    ds = PoseTrackDataset(cfg, "train")
+    # frame 0 (first): no prev
+    rec = next(r for r in ds.data if r["frame_id"] == 0)
+    win = ds.select_window(rec["image"], rec["nframes"])
+    assert win["files"][1] == win["files"][0]
+    assert win["margins"][0] == 0
+    # middle frame 2 of 0..4
+    rec = next(r for r in ds.data if r["frame_id"] == 2)
+    win = ds.select_window(rec["image"], rec["nframes"])
+    assert win["files"][1].endswith("000001.jpg")
+    assert win["files"][3].endswith("000000.jpg")
+
+
+def test_pt18_evaluate(synth18, tmp_path):
+    json_dir, img_dir, annot_dir = synth18
+    cfg = _cfg_for(json_dir, img_dir, annot_dir)
+    cfg.DATASET.IS_2018 = True
+    ds = PoseTrackDataset(cfg, "validate")
+    n = len(ds)
+    preds = np.zeros((n, 17, 3))
+    boxes = np.zeros((n, 6))
+    fmap = {}
+    for i, rec in enumerate(ds.data):
+        preds[i, :, :2] = rec["joints_3d"][:, :2]
+        preds[i, :, 2] = 0.9
+        boxes[i, 0:2] = rec["center"]
+        boxes[i, 2:4] = rec["scale"]
+        boxes[i, 5] = 0.9
+        fmap.setdefault(rec["image"], []).append(i)
+    name_value, mean_ap = ds.evaluate(cfg, preds, str(tmp_path), boxes, fmap)
+    assert mean_ap == pytest.approx(100.0)
+
+
+def test_mot_accumulator_semantics():
+    acc = MotAccumulator()
+    # frame 1: two objects, two hypotheses, perfect match
+    acc.update([1, 2], [10, 20], np.array([[0.1, np.nan], [np.nan, 0.1]]))
+    assert acc.num_detections == 2 and acc.num_switches == 0
+    # frame 2: object 1 switches hypothesis
+    acc.update([1, 2], [30, 20], np.array([[0.1, np.nan], [np.nan, 0.1]]))
+    assert acc.num_switches == 1
+    # frame 3: miss + false positive
+    acc.update([1], [20, 40], np.array([[np.nan, np.nan]]))
+    assert acc.num_misses == 1
+    assert acc.num_false_positives == 2
+    assert acc.num_objects == 5
+
+
+def test_evaluate_tracking_perfect(synth18, tmp_path):
+    """Perfect per-frame predictions with consistent track ids -> MOTA 100."""
+    json_dir, img_dir, annot_dir = synth18
+    cfg = _cfg_for(json_dir, img_dir, annot_dir)
+    cfg.DATASET.IS_2018 = True
+    cfg.EVAL_TRACKING = False
+    ds = PoseTrackDataset(cfg, "validate")
+    n = len(ds)
+    preds = np.zeros((n, 17, 3))
+    boxes = np.zeros((n, 6))
+    fmap = {}
+    for i, rec in enumerate(ds.data):
+        preds[i, :, :2] = rec["joints_3d"][:, :2]
+        preds[i, :, 2] = 0.9
+        boxes[i, 0:2] = rec["center"]
+        boxes[i, 2:4] = rec["scale"]
+        boxes[i, 5] = 0.9
+        fmap.setdefault(rec["image"], []).append(i)
+    ds.evaluate(cfg, preds, str(tmp_path), boxes, fmap)
+
+    from otpose_tpu.evaluate.poseval import load_data_dir
+
+    gt, pr = load_data_dir(annot_dir,
+                           str(tmp_path / "val_set_json_results"))
+    fin = evaluate_tracking(gt, pr)
+    # note: synthetic preds use per-frame track ids = order within frame,
+    # which matches GT track order here -> perfect MOTA
+    assert fin["mota"][0, -1] == pytest.approx(100.0, abs=1e-6)
+    assert fin["rec"][0, -1] == pytest.approx(100.0, abs=1e-6)
