@@ -38,7 +38,7 @@ def _dense_1x1(ctx: Ctx, name: str, x: jnp.ndarray) -> jnp.ndarray:
     """1x1 conv1d == dense over channels. Kernel stored (1, C_in, C_out)."""
     w = ctx.param(f"{name}.weight")[0]
     y = jnp.einsum("btc,cd->btd", x.astype(ctx.compute_dtype), w.astype(ctx.compute_dtype),
-                   preferred_element_type=jnp.float32,
+                   preferred_element_type=core._preferred(ctx.compute_dtype),
                    precision=core._mxu_precision(ctx.compute_dtype)).astype(x.dtype)
     b = ctx.params.get(ctx._key(f"{name}.bias"))
     return y + b if b is not None else y
@@ -71,13 +71,13 @@ def masked_mhca(ctx: Ctx, x: jnp.ndarray, n_head: int, stride: int = 1,
     vh = v.transpose(0, 2, 1).reshape(b, n_head, hs, tq)
 
     att = jnp.einsum("bhct,bhdt->bhcd", qh * scale, kh,
-                     preferred_element_type=jnp.float32,
-                     precision=core._mxu_precision(ctx.compute_dtype))
+                     preferred_element_type=core._preferred(ctx.compute_dtype),
+                     precision=core._mxu_precision(ctx.compute_dtype)).astype(jnp.float32)
     att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
     att = att / jnp.sum(att, axis=-1, keepdims=True)
     att = ctx.dropout(att.astype(x.dtype), attn_pdrop)
-    out = jnp.einsum("bhcd,bhdt->bhct", att, vh,
-                     preferred_element_type=jnp.float32,
+    out = jnp.einsum("bhcd,bhdt->bhct", att.astype(x.dtype), vh,
+                     preferred_element_type=core._preferred(ctx.compute_dtype),
                      precision=core._mxu_precision(ctx.compute_dtype)).astype(x.dtype)
 
     # the reference's scrambled re-assembly: (B, nh, hs, T') -transpose->
@@ -207,8 +207,8 @@ def local_masked_mhca(ctx: Ctx, x: jnp.ndarray, n_head: int, window_size: int,
     for d in range(-w, w + 1):
         shifted = jnp.roll(kh, -d, axis=2)
         s = jnp.einsum("bhtd,bhtd->bht", qh, shifted,
-                       preferred_element_type=jnp.float32,
-                       precision=core._mxu_precision(ctx.compute_dtype))
+                       preferred_element_type=core._preferred(ctx.compute_dtype),
+                       precision=core._mxu_precision(ctx.compute_dtype)).astype(jnp.float32)
         valid = (idx + d >= 0) & (idx + d < tq)
         s = jnp.where(valid[None, None, :], s, -jnp.inf)
         scores.append(s)

@@ -151,6 +151,14 @@ def _mxu_precision(compute_dtype) -> jax.lax.Precision:
             else jax.lax.Precision.DEFAULT)
 
 
+def _preferred(compute_dtype):
+    """Accumulation/output dtype for matmuls.  The MXU always accumulates in
+    f32 internally; requesting an f32 *output* from bf16 operands breaks the
+    conv/einsum transpose rules under jax.grad (dtype-mismatched VJP), so the
+    output follows the compute dtype."""
+    return jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+
+
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None, *,
            stride: int = 1, padding: int = 0, dilation: int = 1, groups: int = 1,
            compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
@@ -164,7 +172,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None, *,
         rhs_dilation=(dilation, dilation),
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_preferred(compute_dtype),
         precision=_mxu_precision(compute_dtype),
     ).astype(orig_dtype)
     if b is not None:
@@ -184,7 +192,7 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None, *,
         padding=[(padding, padding)],
         feature_group_count=groups,
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_preferred(compute_dtype),
         precision=_mxu_precision(compute_dtype),
     ).astype(orig_dtype)
     if b is not None:

@@ -205,7 +205,10 @@ def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarra
         return acc, None
 
     out0 = jnp.zeros((b, p, weight.shape[-1]), f32)
-    out, _ = jax.lax.scan(tap_body, out0, jnp.arange(k2))
+    # remat: without it the scan's linearization stores the (P, H)/(P, W)
+    # tent tensors for every tap and the backward OOMs; recomputing them is
+    # a few ms of MXU time
+    out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0, jnp.arange(k2))
     out = out.reshape(b, ho, wo, -1)
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -278,7 +281,7 @@ def modulated_deform_conv_multi(x: jnp.ndarray, offsets_list, masks_list,
         return acc, None
 
     out0 = jnp.zeros((b, p, weights.shape[-1]), f32)
-    out, _ = jax.lax.scan(tap_body, out0, jnp.arange(d * k2))
+    out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0, jnp.arange(d * k2))
     out = out / d
     if biases is not None:
         out = out + jnp.mean(biases.astype(f32), axis=0)

@@ -1,0 +1,76 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from otpose_tpu.engine import checkpoints as ckpt
+from otpose_tpu.engine.optim import make_optimizer, make_schedule
+from otpose_tpu.engine.trainer import init_train_state
+from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+from otpose_tpu.models.torch2jax import filter_pretrained_for_otpose
+from otpose_tpu.utils.testing import tiny_otpose_cfg
+
+
+@pytest.fixture(scope="module")
+def ts():
+    cfg = tiny_otpose_cfg(image_size=32, heatmap_size=8)
+    spec = OTPoseSpec.from_cfg(cfg)
+    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+    opt = make_optimizer(params, cfg, make_schedule(cfg, 10))
+    return init_train_state(params, state, opt)
+
+
+def test_save_resume_roundtrip(ts, tmp_path):
+    folder = str(tmp_path / "ck")
+    ckpt.save_checkpoint(folder, 3, ts, tensorboard_global_steps=42)
+    assert ckpt.get_latest_checkpoint(folder).endswith("epoch_3_state")
+    ts2, begin_epoch, tb = ckpt.resume(folder, ts)
+    assert begin_epoch == 4 and tb == 42
+    np.testing.assert_array_equal(
+        np.asarray(ts2.params["final_layer1.weight"]),
+        np.asarray(ts.params["final_layer1.weight"]))
+
+
+def test_latest_discovery(ts, tmp_path):
+    folder = str(tmp_path / "ck")
+    for e in (0, 2, 10):
+        ckpt.save_checkpoint(folder, e, ts)
+    assert ckpt.get_latest_checkpoint(folder).endswith("epoch_10_state")
+    assert [os.path.basename(p) for p in ckpt.get_all_checkpoints(folder)] == \
+        ["epoch_0_state", "epoch_2_state", "epoch_10_state"]
+
+
+def test_best_checkpoint_deletion(ts, tmp_path):
+    """Higher mAP replaces the previous best; lower is rejected
+    (ref: model/checkpoints.py:47-74)."""
+    folder = str(tmp_path / "ck")
+    assert ckpt.save_best_checkpoint(folder, ts, 50.0)
+    assert ckpt.save_best_checkpoint(folder, ts, 60.5)
+    assert ckpt.save_best_checkpoint(folder, ts, 55.0) is None
+    names = [n for n in os.listdir(folder) if n.startswith("best")]
+    assert names == ["best_mAP_60.5_state"]
+    assert ckpt.get_best_checkpoint(folder).endswith("best_mAP_60.5_state")
+
+
+def test_torch_pth_import(tmp_path):
+    torch = pytest.importorskip("torch")
+    # a reference-style training checkpoint: bare HRNet keys + module. prefix
+    sd = {
+        "module.conv1.weight": torch.randn(8, 3, 3, 3),
+        "bn1.weight": torch.ones(8),
+        "bn1.running_mean": torch.zeros(8),
+        "final_layer1.bias": torch.zeros(4),
+    }
+    path = str(tmp_path / "ref.pth")
+    torch.save({"state_dict": sd, "begin_epoch": 7}, path)
+    blob = ckpt.restore_checkpoint(path)
+    assert blob["begin_epoch"] == 7
+    assert blob["params"]["conv1.weight"].shape == (3, 3, 3, 8)  # HWIO
+    assert "bn1.running_mean" in blob["model_state"]
+
+    mapped = filter_pretrained_for_otpose(blob["params"])
+    # bare HRNet keys get prefixed; known OTPose roots pass through
+    assert "rough_pose_estimation_net.conv1.weight" in mapped
+    assert "final_layer1.bias" in mapped
