@@ -191,17 +191,14 @@ def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarra
         wx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - iota_w), 0.0)
         # y-contraction on the MXU: (B, P, dg, H) x (B, H, W, dg, cpg)
         a = jnp.einsum("bpgy,bywgc->bpgwc", wy, xg,
-                       preferred_element_type=f32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       preferred_element_type=f32)
         # x-contraction (VPU): (B, P, dg, W, cpg) * (B, P, dg, W)
         sampled = jnp.einsum("bpgwc,bpgw->bpgc", a, wx,
-                             preferred_element_type=f32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             preferred_element_type=f32)
         sampled = sampled * m_all[:, :, :, k_idx, None]
         # weight contraction for this tap
         acc = acc + jnp.einsum("bpgc,gco->bpo", sampled, wk_all[k_idx],
-                               preferred_element_type=f32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               preferred_element_type=f32)
         return acc, None
 
     out0 = jnp.zeros((b, p, weight.shape[-1]), f32)
@@ -269,15 +266,12 @@ def modulated_deform_conv_multi(x: jnp.ndarray, offsets_list, masks_list,
         wy = jnp.maximum(1.0 - jnp.abs(sy[..., None] - iota_h), 0.0)
         wx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - iota_w), 0.0)
         a = jnp.einsum("bpgy,bywgc->bpgwc", wy, xg,
-                       preferred_element_type=f32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       preferred_element_type=f32)
         sampled = jnp.einsum("bpgwc,bpgw->bpgc", a, wx,
-                             preferred_element_type=f32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             preferred_element_type=f32)
         sampled = sampled * msk[di, :, :, :, k, None]
         acc = acc + jnp.einsum("bpgc,gco->bpo", sampled, wk[di, k],
-                               preferred_element_type=f32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               preferred_element_type=f32)
         return acc, None
 
     out0 = jnp.zeros((b, p, weights.shape[-1]), f32)
