@@ -8,8 +8,7 @@ This is the fixed, working TPU equivalent.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import os.path as osp
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from otpose_tpu.config import default_parse_args
 from otpose_tpu.data.loader import Loader

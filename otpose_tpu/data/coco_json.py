@@ -8,7 +8,7 @@ indexing over PoseTrack's COCO-style jsons.
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, List
+from typing import Dict, List
 
 
 class CocoIndex:

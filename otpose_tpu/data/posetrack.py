@@ -22,8 +22,7 @@ from __future__ import annotations
 import copy
 import logging
 import os.path as osp
-import random
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

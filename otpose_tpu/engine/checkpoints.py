@@ -15,7 +15,6 @@ import re
 import shutil
 from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

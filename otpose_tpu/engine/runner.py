@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -223,7 +223,7 @@ def _dump_vis(cfg, output_dir, phase, it, batch, metas, preds_heat):
 
     from otpose_tpu.ops.bbox import cs2box
     from otpose_tpu.ops.heatmap import get_max_preds
-    from otpose_tpu.utils.images import draw_skeleton, save_result_images, tensor2im
+    from otpose_tpu.utils.images import save_result_images, tensor2im
 
     out_dir = osp.join(output_dir, f"{phase}_vis")
     pose, conf = get_max_preds(preds_heat.transpose(0, 3, 1, 2))

@@ -13,8 +13,7 @@ XLA.  Batch-norm batch statistics are computed over the *global* batch
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

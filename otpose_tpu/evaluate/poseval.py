@@ -24,7 +24,7 @@ import glob
 import json
 import logging
 import os
-from typing import Dict, List, Tuple
+from typing import List
 
 import numpy as np
 

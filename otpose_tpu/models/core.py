@@ -15,7 +15,7 @@ close to the math while staying jit-friendly (Ctx only exists at trace time).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ import dataclasses
 from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from otpose_tpu.models import core
 from otpose_tpu.models.core import Ctx, KeyGen, relu

@@ -31,7 +31,6 @@ from otpose_tpu.models.conv_transformer import (ConvTransformerSpec,
 from otpose_tpu.models.core import Ctx, KeyGen
 from otpose_tpu.models.hrnet import HRNetSpec, hrnet_forward, init_hrnet
 from otpose_tpu.ops.deform_conv import (identity_filler_weight,
-                                         modulated_deform_conv,
                                          modulated_deform_conv_multi)
 
 
