@@ -163,6 +163,8 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
                   next_int, close_int, far_int])
 
     tspec = spec.temporal_spec()
+    # (measured: vmapping the two encoders over stacked params is ~7% slower
+    # than sequential execution — param stacking dominates; see STATUS.md)
     x1_feats = conv_transformer_forward(ctx.sub("temporal_encoder1"), x1, tspec)
     x2_feats = conv_transformer_forward(ctx.sub("temporal_encoder2"), x2, tspec)
     x1m = _tokens_to_map(x1_feats, b, spec.pe_h, spec.pe_w)
