@@ -126,3 +126,30 @@ def test_graft_entry_dryrun():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     ge.dryrun_multichip(8)
+
+
+def test_flip_eval_step(setup):
+    """Flip-test averaging: symmetric under input mirroring by construction."""
+    from otpose_tpu.engine.runner import make_flip_eval_step
+
+    cfg, spec, params, model_state = setup
+    fn = make_flip_eval_step(spec)
+    batch = _make_batch(np.random.RandomState(5), 2)
+    out, teacher = fn(params, model_state,
+                      {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")})
+    assert out.shape == (2, 8, 8, 17)
+    assert np.isfinite(np.asarray(out)).all()
+    # flipping the input flips the (aligned) averaged output up to the
+    # one-pixel shift column and the L/R joint swap
+    flipped_inputs = batch["inputs"][:, :, ::-1, :]
+    out_f, _ = fn(params, model_state,
+                  {"inputs": jnp.asarray(flipped_inputs),
+                   "margin": jnp.asarray(batch["margin"])})
+    from otpose_tpu.data.posetrack import FLIP_PAIRS
+    perm = np.arange(17)
+    for a, b in FLIP_PAIRS:
+        perm[a], perm[b] = perm[b], perm[a]
+    back = np.asarray(out_f)[:, :, ::-1, :][..., perm]
+    # interior columns match after unflip+swap (borders differ by the shift)
+    np.testing.assert_allclose(back[:, :, 2:-2, :],
+                               np.asarray(out)[:, :, 2:-2, :], atol=2e-2)
