@@ -18,8 +18,9 @@ from otpose_tpu.data.loader import Loader
 from otpose_tpu.data.posetrack import PoseTrackDataset
 from otpose_tpu.engine import checkpoints as ckpt
 from otpose_tpu.engine.base import RunBase
-from otpose_tpu.engine.runner import evaluate_epoch, make_flip_eval_step
-from otpose_tpu.engine.trainer import make_eval_step
+from otpose_tpu.engine.runner import (evaluate_epoch, evaluate_epoch_decoded,
+                                      make_flip_eval_step)
+from otpose_tpu.engine.trainer import make_decoded_eval_step, make_eval_step
 from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
 
 logger = logging.getLogger(__name__)
@@ -40,7 +41,13 @@ class Eval(RunBase):
 
         compute_dtype = jnp.bfloat16 \
             if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
-        if self.flip:
+        # debug visualization needs heatmaps on host; otherwise decode
+        # on device and fetch only keypoints
+        self.use_decoded = not (cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX)
+        if self.use_decoded:
+            self.eval_fn = make_decoded_eval_step(
+                self.spec, compute_dtype=compute_dtype, flip=self.flip)
+        elif self.flip:
             self.eval_fn = make_flip_eval_step(self.spec,
                                                compute_dtype=compute_dtype)
         else:
@@ -72,7 +79,9 @@ class Eval(RunBase):
         for model_file in model_files:
             logger.info("=> evaluating %s", model_file)
             params, model_state = self._load(model_file)
-            name_values, mean_ap = evaluate_epoch(
+            eval_epoch = evaluate_epoch_decoded if self.use_decoded \
+                else evaluate_epoch
+            name_values, mean_ap = eval_epoch(
                 self.eval_fn, params, model_state, self.loader, self.dataset,
                 self.cfg, self.cfg.OUTPUT_DIR, phase=self.phase)
             results.append((model_file, name_values, mean_ap))

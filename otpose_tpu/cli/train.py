@@ -66,7 +66,8 @@ class Train(RunBase):
                                        compute_dtype=compute_dtype,
                                        topk=cfg.LOSS.TOPK,
                                        use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
-                                       donate=cfg.TPU.DONATE_STATE)
+                                       donate=cfg.TPU.DONATE_STATE,
+                                       remat=cfg.TPU.REMAT)
         self.eval_fn = make_eval_step(self.spec, compute_dtype=compute_dtype)
 
         self.tb_writer = None

@@ -217,6 +217,7 @@ _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.SYNC_BN = False               # True: cross-replica batch-norm stats (psum)
 _C.TPU.PREFETCH_DEPTH = 2            # host->device pipeline depth
 _C.TPU.DONATE_STATE = True           # donate train-state buffers to the jit step
+_C.TPU.REMAT = False                 # recompute forward in backward (bigger batches)
 _C.TPU.USE_PALLAS = True             # use Pallas kernels where available
 _C.TPU.PROFILE_DIR = ""              # non-empty: capture jax.profiler traces here
 

@@ -248,3 +248,87 @@ def _print_name_value(name_value, full_arch_name):
         tablefmt="pipe", headers=["Model"] + list(name_value.keys()),
         numalign="left")
     logger.info("=> Result Table: \n" + table)
+
+
+def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
+                           cfg, output_dir: str, *, phase: str = "validate",
+                           tb_writer=None, global_steps: int = 0):
+    """Evaluation with on-device decode: fetches 17 coords per box instead of
+    full heatmaps (the reference decodes heatmaps on host per box,
+    ref: script/Common.py:419-432).  Functionally equivalent to
+    ``evaluate_epoch`` (same PCK meter semantics, same poseval output)."""
+    from otpose_tpu.ops.affine import apply_affine_to_points, get_affine_transform
+    from otpose_tpu.evaluate.pck import calc_dists, dist_acc
+    from otpose_tpu.ops.heatmap import get_max_preds
+
+    batch_time = AverageMeter()
+    acc_meter = AverageMeter()
+    num_samples = len(dataset)
+    num_joints = cfg.MODEL.NUM_JOINTS
+    hm_w, hm_h = cfg.MODEL.HEATMAP_SIZE
+    all_preds = np.zeros((num_samples, num_joints, 3))
+    all_boxes = np.zeros((num_samples, 6))
+    filenames_map: Dict[str, list] = {}
+    filenames_counter = 0
+    idx = 0
+    end = time.time()
+
+    def _iter_pipelined():
+        pending = None
+        for batch, metas in loader:
+            outs = decoded_fn(params, model_state,
+                              {k: jnp.asarray(batch[k])
+                               for k in ("inputs", "margin")})
+            if pending is not None:
+                p_outs, p_batch, p_metas = pending
+                yield tuple(np.asarray(o) for o in p_outs), p_batch, p_metas
+            pending = (outs, batch, metas)
+        if pending is not None:
+            p_outs, p_batch, p_metas = pending
+            yield tuple(np.asarray(o) for o in p_outs), p_batch, p_metas
+
+    for it, ((coords, maxvals, raw_coords), batch, metas) in \
+            enumerate(_iter_pipelined()):
+        # PCK meter: device pred argmax vs host target argmax
+        # (ref: utils/evaluate.py:384-415)
+        target_np = np.asarray(batch["target"]).transpose(0, 3, 1, 2)
+        gt_coords, _ = get_max_preds(target_np)
+        norm = np.ones((coords.shape[0], 2)) * np.array([hm_h, hm_w]) / 10
+        dists = calc_dists(raw_coords, gt_coords, norm)
+        accs = [dist_acc(dists[i]) for i in range(num_joints)]
+        valid = [a for a in accs if a >= 0]
+        if valid:
+            acc_meter.update(float(np.mean(valid)), len(valid))
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        for meta in metas:
+            filenames_map.setdefault(meta["image"], []).append(filenames_counter)
+            filenames_counter += 1
+
+        center = np.stack([m["center"] for m in metas])
+        scale = np.stack([m["scale"] for m in metas])
+        score = np.asarray([m["score"] for m in metas])
+        n = coords.shape[0]
+        for i in range(n):
+            trans = get_affine_transform(center[i], scale[i], 0, [hm_w, hm_h],
+                                         inv=1)
+            all_preds[idx + i, :, 0:2] = apply_affine_to_points(coords[i], trans)
+        all_preds[idx:idx + n, :, 2:3] = maxvals
+        all_boxes[idx:idx + n, 0:2] = center
+        all_boxes[idx:idx + n, 2:4] = scale
+        all_boxes[idx:idx + n, 4] = np.prod(scale * 200, 1)
+        all_boxes[idx:idx + n, 5] = score
+        idx += n
+
+        if it % cfg.PRINT_FREQ == 0:
+            logger.info("%s: [%d/%d]\tTime %.3f (%.3f)\tAccuracy %.3f (%.3f)",
+                        phase, it, len(loader), batch_time.val, batch_time.avg,
+                        acc_meter.val, acc_meter.avg)
+
+    name_values, mean_ap = dataset.evaluate(cfg, all_preds, output_dir,
+                                            all_boxes, filenames_map)
+    _print_name_value(name_values, cfg.MODEL.NAME)
+    if tb_writer is not None:
+        tb_writer.add_scalar(f"{phase}/mAP", mean_ap, global_steps)
+    return name_values, mean_ap

@@ -63,8 +63,13 @@ def compute_losses(ctx: Ctx, batch: Dict[str, jnp.ndarray], spec: OTPoseSpec,
 
 def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
                     topk: int = 8, use_target_weight: bool = True,
-                    donate: bool = True) -> Callable:
-    """Build the jit'd train step: (TrainState, batch, rng) -> (TrainState, metrics)."""
+                    donate: bool = True, remat: bool = False) -> Callable:
+    """Build the jit'd train step: (TrainState, batch, rng) -> (TrainState, metrics).
+
+    ``remat=True`` recomputes the whole forward during the backward pass
+    (cfg.TPU.REMAT) — trades ~1 extra forward for activation memory, enabling
+    larger per-chip batches (batch 8 flagship training OOMs by ~0.4GB on a
+    16GB v5e without it)."""
 
     def loss_fn(params, model_state, batch, rng):
         ctx = Ctx(params, model_state, train=True, rng=rng,
@@ -72,6 +77,9 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
         total, (metrics, _) = compute_losses(ctx, batch, spec, topk,
                                              use_target_weight)
         return total, (metrics, ctx.finalize_state())
+
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     def step(ts: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -95,6 +103,35 @@ def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32) -> Callable:
         out = otpose_forward(ctx, batch["inputs"], batch["margin"], spec)
         bsz = batch["inputs"].shape[0]
         return out[0], out[1][:bsz]
+
+    return jax.jit(step)
+
+
+def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
+                           flip: bool = False) -> Callable:
+    """jit'd eval forward + on-device decode.
+
+    Returns (refined_coords (B, J, 2), maxvals (B, J, 1),
+    raw_coords (B, J, 2)) — the host then only back-projects 17 points per
+    box instead of fetching full heatmaps (ref decode: utils/heatmap.py:108-140;
+    the reference pulls heatmaps to host and decodes per box in numpy,
+    script/Common.py:419-432).
+    """
+    from otpose_tpu.ops.heatmap import get_max_preds_device, refine_coords_device
+
+    if flip:
+        from otpose_tpu.engine.runner import make_flip_eval_step
+
+        fwd = make_flip_eval_step(spec, compute_dtype=compute_dtype)
+    else:
+        fwd = make_eval_step(spec, compute_dtype=compute_dtype)
+
+    def step(params, model_state, batch):
+        heat, _teacher = fwd(params, model_state, batch)
+        heat_nchw = heat.transpose(0, 3, 1, 2)
+        coords, maxvals = refine_coords_device(heat_nchw)
+        raw_coords, _ = get_max_preds_device(heat_nchw)
+        return coords, maxvals, raw_coords
 
     return jax.jit(step)
 

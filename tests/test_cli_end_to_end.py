@@ -71,3 +71,32 @@ def test_train_then_eval(workspace):
     assert np.isfinite(mean_ap)
     assert set(name_values.keys()) == {"Head", "Shoulder", "Elbow", "Wrist",
                                        "Hip", "Knee", "Ankle", "Mean"}
+
+
+def test_decoded_eval_matches_heatmap_eval(workspace):
+    """evaluate_epoch_decoded (on-device decode) must reproduce the heatmap
+    path's predictions and mAP."""
+    import jax
+
+    from otpose_tpu.config import default_parse_args, setup
+    from otpose_tpu.data.loader import Loader
+    from otpose_tpu.data.posetrack import PoseTrackDataset
+    from otpose_tpu.engine.runner import evaluate_epoch, evaluate_epoch_decoded
+    from otpose_tpu.engine.trainer import make_decoded_eval_step, make_eval_step
+    from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+
+    root, yaml_path = workspace
+    cfg = setup(default_parse_args(["--cfg", yaml_path, "--root_dir", str(root)]))
+    ds = PoseTrackDataset(cfg, "validate")
+    loader = Loader(ds, 4, shuffle=False, num_workers=2)
+    spec = OTPoseSpec.from_cfg(cfg)
+    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+
+    nv1, map1 = evaluate_epoch(make_eval_step(spec), params, state, loader,
+                               ds, cfg, str(root / "eval_hm"))
+    nv2, map2 = evaluate_epoch_decoded(make_decoded_eval_step(spec), params,
+                                       state, loader, ds, cfg,
+                                       str(root / "eval_dec"))
+    assert map2 == pytest.approx(map1, abs=1e-6)
+    for k in nv1:
+        assert nv2[k] == pytest.approx(nv1[k], abs=1e-6), k
