@@ -111,6 +111,7 @@ def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
                     tb_writer.add_scalar(f"train/{k}", v, global_steps)
                 if cfg.DEBUG.VIS_TENSORBOARD:
                     _tb_image_grids(tb_writer, batch, global_steps)
+            acc_meter.update(host_metrics.get("pck_acc", 0.0))
             bsz = batch["inputs"].shape[0]
             logger.info(
                 "Epoch: [%03d][%05d/%05d]\tTime %.3fs (%.3fs)\t"

@@ -52,11 +52,15 @@ def compute_losses(ctx: Ctx, batch: Dict[str, jnp.ndarray], spec: OTPoseSpec,
     aux = st_ohkw_mse_loss(context_encoding, context_encoding, occlusion, weight,
                            topk=topk, use_target_weight=use_target_weight)
     total = losses["final_loss"] + aux["final_loss"]
+    from otpose_tpu.evaluate.pck import accuracy_device
+
+    pck, _ = accuracy_device(jax.lax.stop_gradient(output), target)
     metrics = {
         "final_loss": total,
         "ohkm_loss_s": losses["ohkm_loss_s"],
         "mse_loss_s": losses["mse_loss_s"],
         "occ_final_loss": aux["final_loss"],
+        "pck_acc": pck,
     }
     return total, (metrics, output)
 

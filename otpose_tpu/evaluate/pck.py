@@ -53,3 +53,31 @@ def accuracy(output: np.ndarray, target: np.ndarray, hm_type: str = "gaussian",
     if cnt != 0:
         acc[0] = avg_acc
     return acc, avg_acc, cnt, pred
+
+
+def accuracy_device(pred_hm, target_hm, thr: float = 0.5):
+    """PCK meter on device (jit-able), matching ``accuracy`` semantics
+    (ref: utils/evaluate.py:384-415): per-joint fraction of visible joints
+    within thr, averaged over joints that have any visible instance.
+
+    pred_hm/target_hm: NHWC heatmaps. Returns (avg_acc scalar, cnt scalar).
+    """
+    import jax.numpy as jnp
+
+    from otpose_tpu.ops.heatmap import get_max_preds_device
+
+    pred = pred_hm.transpose(0, 3, 1, 2)
+    gt = target_hm.transpose(0, 3, 1, 2)
+    h, w = pred.shape[2], pred.shape[3]
+    p, _ = get_max_preds_device(pred)     # (B, J, 2)
+    g, _ = get_max_preds_device(gt)
+    visible = (g[..., 0] > 1) & (g[..., 1] > 1)          # (B, J)
+    norm = jnp.asarray([h / 10.0, w / 10.0])
+    d = jnp.linalg.norm((p - g) / norm, axis=-1)          # (B, J)
+    hit = (d < thr) & visible
+    n_vis = visible.sum(axis=0)                           # (J,)
+    acc_j = hit.sum(axis=0) / jnp.maximum(n_vis, 1)
+    has_vis = n_vis > 0
+    cnt = has_vis.sum()
+    avg = jnp.where(cnt > 0, (acc_j * has_vis).sum() / jnp.maximum(cnt, 1), 0.0)
+    return avg, cnt

@@ -153,3 +153,16 @@ def test_flip_eval_step(setup):
     # interior columns match after unflip+swap (borders differ by the shift)
     np.testing.assert_allclose(back[:, :, 2:-2, :],
                                np.asarray(out)[:, :, 2:-2, :], atol=2e-2)
+
+
+def test_device_pck_matches_host(setup):
+    from otpose_tpu.evaluate.pck import accuracy, accuracy_device
+
+    rng = np.random.RandomState(7)
+    pred = rng.rand(3, 8, 8, 17).astype(np.float32)
+    tgt = rng.rand(3, 8, 8, 17).astype(np.float32)
+    avg_d, cnt_d = accuracy_device(jnp.asarray(pred), jnp.asarray(tgt))
+    _, avg_h, cnt_h, _ = accuracy(pred.transpose(0, 3, 1, 2),
+                                  tgt.transpose(0, 3, 1, 2))
+    assert float(avg_d) == pytest.approx(avg_h, abs=1e-6)
+    assert int(cnt_d) == cnt_h
