@@ -298,8 +298,28 @@ def upsample_nearest_2x(x: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 def upsample_linear_1d(x: jnp.ndarray, out_t: int) -> jnp.ndarray:
     """nn.Upsample(mode='linear', align_corners=False) on (B, T, C)
-    (ref: ConvVideoTransformer.py:108,179)."""
+    (ref: ConvVideoTransformer.py:108,179).
+
+    For integer factors this is f shifted blends interleaved — pure
+    VPU shifts, no TPU gathers.  Non-integer ratios fall back to a gather.
+    """
     b, t, c = x.shape
+    if out_t % t == 0 and out_t != t:
+        f = out_t // t
+        left = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)    # x[i-1], edge clamp
+        right = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)   # x[i+1], edge clamp
+        phases = []
+        for k in range(f):
+            frac = (2 * k + 1) / (2 * f) - 0.5
+            if frac < 0:
+                # src = i + frac clamps to 0 at i == 0: left is edge-clamped
+                phases.append((-frac) * left + (1 + frac) * x)
+            elif frac == 0:
+                phases.append(x)
+            else:
+                phases.append((1 - frac) * x + frac * right)
+        out = jnp.stack(phases, axis=2)                          # (B, T, f, C)
+        return out.reshape(b, t * f, c).astype(x.dtype)
     scale = t / out_t
     dst = jnp.arange(out_t, dtype=jnp.float32)
     src = (dst + 0.5) * scale - 0.5
