@@ -134,18 +134,24 @@ class Train(RunBase):
 
     def _validate(self, tb_steps: int):
         cfg = self.cfg
-        try:
-            val_dataset = PoseTrackDataset(cfg, "validate")
-        except Exception as e:
-            logger.warning("validation dataset unavailable (%s); skipping", e)
+        if not hasattr(self, "_val_dataset"):
+            # (the reference rebuilds its whole Eval object every epoch,
+            # ref: train.py:92-93; we build the dataset/loader once)
+            try:
+                self._val_dataset = PoseTrackDataset(cfg, "validate")
+            except Exception as e:
+                logger.warning("validation dataset unavailable (%s); skipping", e)
+                self._val_dataset = None
+            self._val_loader = None if self._val_dataset is None else Loader(
+                self._val_dataset,
+                cfg.VAL.BATCH_SIZE_PER_GPU * len(jax.devices()),
+                shuffle=False, num_workers=cfg.WORKERS)
+        if self._val_dataset is None:
             return None
-        loader = Loader(val_dataset,
-                        cfg.VAL.BATCH_SIZE_PER_GPU * len(jax.devices()),
-                        shuffle=False, num_workers=cfg.WORKERS)
         _, mean_ap = evaluate_epoch(
             self.eval_fn, self.train_state.params, self.train_state.model_state,
-            loader, val_dataset, cfg, cfg.OUTPUT_DIR, phase="validate",
-            tb_writer=self.tb_writer, global_steps=tb_steps)
+            self._val_loader, self._val_dataset, cfg, cfg.OUTPUT_DIR,
+            phase="validate", tb_writer=self.tb_writer, global_steps=tb_steps)
         return mean_ap
 
 
