@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from otpose_tpu.config import default_parse_args
-from otpose_tpu.data.loader import Loader
+from otpose_tpu.data import make_loader
 from otpose_tpu.data.posetrack import PoseTrackDataset
 from otpose_tpu.engine import checkpoints as ckpt
 from otpose_tpu.engine.base import RunBase
@@ -33,8 +33,7 @@ class Eval(RunBase):
         self.dataset = PoseTrackDataset(cfg, phase)
         sub = cfg.VAL if phase == "validate" else cfg.TEST
         self.batch = sub.BATCH_SIZE_PER_GPU * len(jax.devices())
-        self.loader = Loader(self.dataset, self.batch, shuffle=False,
-                             num_workers=cfg.WORKERS)
+        self.loader = make_loader(cfg, self.dataset, self.batch, shuffle=False)
         self.spec = OTPoseSpec.from_cfg(cfg)
         self.model_file = sub.MODEL_FILE
         self.flip = sub.FLIP_VAL if phase == "validate" else sub.FLIP_TEST
@@ -103,6 +102,11 @@ class Eval(RunBase):
             if k in model_state and tuple(model_state[k].shape) == tuple(v.shape):
                 model_state[k] = jnp.asarray(v)
         logger.info("=> loaded %d/%d tensors", n, len(params))
+        if self.cfg.TPU.PARAM_DTYPE == "bfloat16":
+            # eval-only bf16 params: halves param HBM reads; batch-norm/
+            # layer-norm statistics still run in f32 inside the kernels
+            params = {k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
+                      for k, v in params.items()}
         return params, model_state
 
 

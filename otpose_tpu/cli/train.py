@@ -15,13 +15,14 @@ import jax
 import jax.numpy as jnp
 
 from otpose_tpu.config import default_parse_args
-from otpose_tpu.data.loader import Loader
+from otpose_tpu.data import make_loader
 from otpose_tpu.data.posetrack import PoseTrackDataset
 from otpose_tpu.engine import checkpoints as ckpt
 from otpose_tpu.engine.base import RunBase
 from otpose_tpu.engine.optim import make_optimizer, make_schedule
-from otpose_tpu.engine.runner import evaluate_epoch, train_epoch
-from otpose_tpu.engine.trainer import init_train_state, make_eval_step, make_train_step
+from otpose_tpu.engine.runner import evaluate_epoch_decoded, train_epoch
+from otpose_tpu.engine.trainer import (init_train_state, make_decoded_eval_step,
+                                       make_train_step)
 from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
 from otpose_tpu.models.torch2jax import filter_pretrained_for_otpose
 from otpose_tpu.ops.heatmap import adjust_sigma
@@ -40,10 +41,9 @@ class Train(RunBase):
         self.train_dataset = PoseTrackDataset(cfg, "train")
         n_dev = len(jax.devices())
         self.batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
-        self.loader = Loader(self.train_dataset, self.batch_size,
-                             shuffle=cfg.TRAIN.SHUFFLE, num_workers=cfg.WORKERS,
-                             seed=seed, drop_last=True,
-                             prefetch=cfg.TPU.PREFETCH_DEPTH)
+        self.loader = make_loader(cfg, self.train_dataset, self.batch_size,
+                                  shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
+                                  seed=seed)
 
         self.spec = OTPoseSpec.from_cfg(cfg)
         params, model_state = init_otpose(jax.random.PRNGKey(seed), self.spec)
@@ -68,7 +68,10 @@ class Train(RunBase):
                                        use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
                                        donate=cfg.TPU.DONATE_STATE,
                                        remat=cfg.TPU.REMAT)
-        self.eval_fn = make_eval_step(self.spec, compute_dtype=compute_dtype)
+        # per-epoch validation decodes keypoints on device (fetches 17 coords
+        # per box, not full heatmaps) — equivalence-tested vs evaluate_epoch
+        self.eval_fn = make_decoded_eval_step(self.spec,
+                                              compute_dtype=compute_dtype)
 
         self.tb_writer = None
         try:
@@ -139,16 +142,20 @@ class Train(RunBase):
             # ref: train.py:92-93; we build the dataset/loader once)
             try:
                 self._val_dataset = PoseTrackDataset(cfg, "validate")
-            except Exception as e:
-                logger.warning("validation dataset unavailable (%s); skipping", e)
+            except FileNotFoundError as e:
+                # only "val annotations not present" disables validation;
+                # any other error (typo'd paths, malformed json) must fail
+                # loudly — otherwise best-ckpt selection silently vanishes
+                logger.warning("validation dataset unavailable (%s); "
+                               "skipping per-epoch validation", e)
                 self._val_dataset = None
-            self._val_loader = None if self._val_dataset is None else Loader(
-                self._val_dataset,
-                cfg.VAL.BATCH_SIZE_PER_GPU * len(jax.devices()),
-                shuffle=False, num_workers=cfg.WORKERS)
+            self._val_loader = None if self._val_dataset is None else \
+                make_loader(cfg, self._val_dataset,
+                            cfg.VAL.BATCH_SIZE_PER_GPU * len(jax.devices()),
+                            shuffle=False)
         if self._val_dataset is None:
             return None
-        _, mean_ap = evaluate_epoch(
+        _, mean_ap = evaluate_epoch_decoded(
             self.eval_fn, self.train_state.params, self.train_state.model_state,
             self._val_loader, self._val_dataset, cfg, cfg.OUTPUT_DIR,
             phase="validate", tb_writer=self.tb_writer, global_steps=tb_steps)

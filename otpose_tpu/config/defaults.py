@@ -213,13 +213,22 @@ _C.TPU = CfgNode()
 _C.TPU.MESH_AXES = ["data"]          # mesh axis names; batch is sharded on 'data'
 _C.TPU.MESH_SHAPE = [-1]             # -1 = all available devices on that axis
 _C.TPU.COMPUTE_DTYPE = "bfloat16"    # matmul/conv compute dtype; params stay f32
+# eval-time parameter dtype: "bfloat16" halves param HBM traffic for eval/
+# inference (training always keeps f32 master params)
 _C.TPU.PARAM_DTYPE = "float32"
-_C.TPU.SYNC_BN = False               # True: cross-replica batch-norm stats (psum)
+# NOTE on sync-BN: there is no knob because the jit'd train step computes
+# batch-norm statistics over the *global* (mesh-wide) batch by construction —
+# sync-BN semantics are always on (documented divergence from DataParallel's
+# per-replica stats; see engine/trainer.py docstring).
 _C.TPU.PREFETCH_DEPTH = 2            # host->device pipeline depth
 _C.TPU.DONATE_STATE = True           # donate train-state buffers to the jit step
 _C.TPU.REMAT = False                 # recompute forward in backward (bigger batches)
 _C.TPU.USE_PALLAS = True             # use Pallas kernels where available
 _C.TPU.PROFILE_DIR = ""              # non-empty: capture jax.profiler traces here
+# device preprocessing (warp/normalize/target-gen on TPU): auto | on | off.
+# "auto" = on when the default backend is an accelerator.
+_C.TPU.DEVICE_PREPROCESS = "auto"
+_C.TPU.MAX_FRAME_HW = [1088, 1920]   # raw-frame staging buffer (covers PoseTrack)
 
 
 def get_cfg() -> CfgNode:

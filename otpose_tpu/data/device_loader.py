@@ -9,8 +9,9 @@ otherwise), applies flip/blur augmentation on raw pixels, and warps the
 generation run on the TPU.
 
 Raw frames are staged into a fixed (max_h, max_w) buffer so batches have
-static shapes; frames larger than the buffer fall back to host-side cv2
-warping for that sample (rare on PoseTrack).
+static shapes.  The default buffer (1088, 1920) covers every PoseTrack17/18
+frame; a frame larger than the buffer raises a descriptive error telling the
+user to raise ``max_frame_hw`` (silently cropping would corrupt geometry).
 """
 
 from __future__ import annotations
@@ -54,16 +55,29 @@ class DeviceLoader(Loader):
             frames, hs, ws, fails = native.decode_jpeg_batch(
                 window["files"], self.max_h, self.max_w)
             if fails:
-                raise ValueError(f"decode failure in {window['files']}")
+                raise ValueError(
+                    f"decode failure in {window['files']} (corrupt file, or a "
+                    f"frame larger than the ({self.max_h}, {self.max_w}) "
+                    f"staging buffer — raise DeviceLoader max_frame_hw)")
             h, w = int(hs[0]), int(ws[0])
+            if not ds.color_rgb:
+                # native decoder emits RGB; host path honors
+                # DATASET.COLOR_RGB (ref: PoseTrackDataset.py:302-306)
+                frames = frames[..., ::-1]
         else:
             imgs = []
             for f in window["files"]:
-                im = cv2.imread(f)
+                im = cv2.imread(f)  # BGR
                 if im is None:
                     raise ValueError(f"Fail to read {f}")
-                imgs.append(cv2.cvtColor(im, cv2.COLOR_BGR2RGB))
+                imgs.append(cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+                            if ds.color_rgb else im)
             h, w = imgs[0].shape[:2]
+            if h > self.max_h or w > self.max_w:
+                raise ValueError(
+                    f"frame {window['files'][0]} is ({h}, {w}) but the staging "
+                    f"buffer is ({self.max_h}, {self.max_w}); raise "
+                    f"DeviceLoader max_frame_hw")
             frames = np.zeros((5, self.max_h, self.max_w, 3), np.uint8)
             for i, im in enumerate(imgs):
                 frames[i, :im.shape[0], :im.shape[1]] = im
@@ -143,14 +157,19 @@ class DeviceLoader(Loader):
             return self._load_raw_sample(int(idx), rng)
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for bidx, batch_idxs in enumerate(batches):
-                    if stop.is_set():
-                        break
-                    samples = list(pool.map(load_sample,
-                                            [(bidx, i) for i in batch_idxs]))
-                    out_q.put(samples)
-            out_q.put(None)
+            # forward failures to the consumer; never die without a sentinel
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for bidx, batch_idxs in enumerate(batches):
+                        if stop.is_set():
+                            break
+                        samples = list(pool.map(load_sample,
+                                                [(bidx, i) for i in batch_idxs]))
+                        out_q.put(samples)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -159,6 +178,8 @@ class DeviceLoader(Loader):
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield self._to_device(item)
         finally:
             stop.set()

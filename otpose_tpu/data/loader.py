@@ -65,14 +65,20 @@ class Loader:
             return self.dataset.get_sample_host(int(idx), rng=rng)
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for bidx, batch_idxs in enumerate(batches):
-                    if stop.is_set():
-                        break
-                    args = [(bidx, j, idx) for j, idx in enumerate(batch_idxs)]
-                    samples = list(pool.map(load_sample, args))
-                    out_q.put(collate_host_samples(samples))
-            out_q.put(None)
+            # Any sample-load failure is forwarded to the consumer instead of
+            # silently killing this thread (which would hang out_q.get()).
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for bidx, batch_idxs in enumerate(batches):
+                        if stop.is_set():
+                            break
+                        args = [(bidx, j, idx) for j, idx in enumerate(batch_idxs)]
+                        samples = list(pool.map(load_sample, args))
+                        out_q.put(collate_host_samples(samples))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -81,6 +87,8 @@ class Loader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

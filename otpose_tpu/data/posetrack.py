@@ -300,6 +300,13 @@ class PoseTrackDataset:
             center[0] = imgs[0].shape[1] - center[0] - 1
 
         if aug["do_blur"]:
+            # Intentional divergence (ref: PoseTrackDataset.py:374-386): the
+            # reference draws a fresh sigma per frame and applies torchvision
+            # GaussianBlur(kernel=(9,5)) to an HWC *tensor*, which treats H as
+            # the channel axis and so blurs only the W/C planes — a quirk with
+            # no semantic intent.  We apply a proper 2-D spatial blur with one
+            # sigma shared by all 5 frames (the frames form one temporal
+            # window; consistent blur matches the shared affine-warp design).
             s = aug["blur_sigma"]
             imgs = [cv2.GaussianBlur(im, (9, 5), s) for im in imgs]
 

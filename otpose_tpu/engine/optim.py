@@ -36,8 +36,12 @@ def classify_param(name: str) -> str:
     if name.endswith(".scale") or name.endswith("rel_pe"):
         return "no_decay"
     if name.endswith(".weight"):
+        # match the owning LayerNorm module anywhere in the path: ModuleList-
+        # held norms look like "temporal_encoder1.embd_norm.0.weight", so the
+        # module name is parts[-3], not parts[-2] (ref blacklists every
+        # nn.LayerNorm instance, train_utils.py:88-101)
         parts = name.split(".")
-        if len(parts) >= 2 and (parts[-2] in _LN_SUFFIXES or "embd_norm" in parts[-2]):
+        if any(p in _LN_SUFFIXES or p == "embd_norm" for p in parts[:-1]):
             return "no_decay"
     return "decay"
 
@@ -103,6 +107,12 @@ def make_optimizer(params: Dict[str, jnp.ndarray], cfg,
     groups = {k: classify_param(k) for k in params}
     wd_mask = {k: g != "no_decay" for k, g in groups.items()}
     lr_scale = {k: (0.01 if g == "pretrained" else 1.0) for k, g in groups.items()}
+    if cfg.MODEL.FREEZE_HRNET_WEIGHTS:
+        # zero the final update (incl. the weight-decay term) for frozen HRNet
+        # params (ref: OTPose.py:502-503) — bit-identical across steps
+        for k in lr_scale:
+            if k.startswith("rough_pose_estimation_net."):
+                lr_scale[k] = 0.0
 
     def scale_by_group_lr():
         def init_fn(params):

@@ -24,6 +24,7 @@ from otpose_tpu.evaluate.pck import accuracy
 from otpose_tpu.models.core import Ctx
 from otpose_tpu.models.otpose import otpose_forward
 from otpose_tpu.ops.heatmap import get_final_preds
+from otpose_tpu.utils.profiling import maybe_trace
 
 logger = logging.getLogger(__name__)
 
@@ -93,11 +94,12 @@ def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
         if shard_fn is not None:
             batch = shard_fn(batch)
         step_rng = jax.random.fold_in(rng, global_steps)
-        train_state, metrics = step_fn(train_state,
-                                       {k: batch[k] for k in
-                                        ("inputs", "margin", "target",
-                                         "target_weight")},
-                                       step_rng)
+        with maybe_trace(cfg.TPU.PROFILE_DIR, step=global_steps):
+            train_state, metrics = step_fn(train_state,
+                                           {k: batch[k] for k in
+                                            ("inputs", "margin", "target",
+                                             "target_weight")},
+                                           step_rng)
         batch_time.update(time.time() - end)
         end = time.time()
         global_steps += 1

@@ -62,6 +62,20 @@ class Ctx:
         child._root = self._root
         return child
 
+    def frozen(self) -> "Ctx":
+        """Eval-mode view of this scope: batch norm normalizes with running
+        stats and records no updates.  Used for frozen submodules
+        (MODEL.FREEZE_HRNET_WEIGHTS)."""
+        child = Ctx.__new__(Ctx)
+        child.params = self.params
+        child.state = self.state
+        child.train = False
+        child.compute_dtype = self.compute_dtype
+        child.sync_axis = self.sync_axis
+        child._prefix = self._prefix
+        child._root = self._root
+        return child
+
     def _key(self, name: str) -> str:
         return self._prefix + name
 

@@ -44,6 +44,7 @@ class OTPoseSpec:
     def_ch: int
     offset_mask_combine_blocks: int
     aggregation_type: str = "weighted_sum"
+    freeze_hrnet: bool = False    # MODEL.FREEZE_HRNET_WEIGHTS
     num_frames: int = 8           # feature-stack depth (ref: OTPose.py:188)
     scale_arch: Tuple[int, int, int] = (0, 6, 2)
     flow_scale_arch: Tuple[int, int, int] = (0, 6, 0)
@@ -87,6 +88,7 @@ class OTPoseSpec:
             def_ch=cfg.MODEL.DEFORMABLE_CONV_CH,
             offset_mask_combine_blocks=cfg.MODEL.OFFSET_MASK_COMBINE_CONV,
             aggregation_type=cfg.MODEL.DEFORMABLE_CONV.AGGREGATION_TYPE,
+            freeze_hrnet=cfg.MODEL.FREEZE_HRNET_WEIGHTS,
             scale_arch=scale_arch,
             flow_scale_arch=flow_arch,
         )
@@ -123,7 +125,19 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
     # bf16 activations end-to-end when compute_dtype is bf16 (halves HBM
     # traffic); norm statistics stay f32 inside the layers
     frames = frames.astype(ctx.compute_dtype)
-    rough = hrnet_forward(ctx.sub("rough_pose_estimation_net"), frames, spec.hrnet)
+    hctx = ctx.sub("rough_pose_estimation_net")
+    if spec.freeze_hrnet:
+        # MODEL.FREEZE_HRNET_WEIGHTS (ref: OTPose.py:502-503, HRNet.py:154-158).
+        # The reference only sets requires_grad=False (torch BN running stats
+        # would still drift in train mode — a well-known footgun); we freeze
+        # the running stats too and normalize with them, i.e. a true freeze.
+        # stop_gradient on the outputs matches torch's grad flow exactly (no
+        # HRNet param receives gradient) and lets XLA drop the entire HRNet
+        # backward pass.
+        hctx = hctx.frozen()
+    rough = hrnet_forward(hctx, frames, spec.hrnet)
+    if spec.freeze_hrnet:
+        rough = jax.lax.stop_gradient(rough)
     cur, prev, nxt, pprev, nnext = jnp.split(rough, 5, axis=0)
 
     total_b = cur + prev + nxt + pprev + nnext

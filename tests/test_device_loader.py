@@ -39,6 +39,67 @@ def test_device_loader_matches_host_loader(ds):
     assert [m["image"] for m in dm] == [m["image"] for m in hm]
 
 
+def test_loader_propagates_producer_errors(ds):
+    """A failing sample load must raise in the consumer, not hang the
+    out_q.get() forever (round-1 advisor finding)."""
+
+    class Broken:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __len__(self):
+            return len(self._inner)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def get_sample_host(self, idx, rng=None):
+            raise ValueError("corrupt jpeg (synthetic)")
+
+    loader = Loader(Broken(ds), 2, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt jpeg"):
+        for _ in loader:
+            pass
+
+
+def test_device_loader_propagates_producer_errors(ds):
+    class BrokenData:
+        def __getitem__(self, idx):
+            raise OSError("disk gone (synthetic)")
+
+    class BrokenDs:
+        def __init__(self, inner):
+            self._inner = inner
+            self.data = BrokenData()
+
+        def __len__(self):
+            return len(self._inner)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    dev = DeviceLoader(BrokenDs(ds), 2, shuffle=False, num_workers=2,
+                       max_frame_hw=(128, 160))
+    with pytest.raises(OSError, match="disk gone"):
+        for _ in dev:
+            pass
+
+
+def test_device_loader_bgr_when_color_rgb_false(ds):
+    """DeviceLoader honors DATASET.COLOR_RGB like the host path
+    (round-1 advisor finding)."""
+    import copy as _copy
+
+    ds_bgr = _copy.copy(ds)
+    ds_bgr.color_rgb = False
+    host = Loader(ds_bgr, 2, shuffle=False, num_workers=2)
+    dev = DeviceLoader(ds_bgr, 2, shuffle=False, num_workers=2,
+                       max_frame_hw=(128, 160))
+    (hb, _), (db, _) = next(iter(host)), next(iter(dev))
+    diff = np.abs(np.asarray(db["inputs"]) - hb["inputs"])
+    assert diff.max() < 0.15, diff.max()
+
+
 def test_device_loader_deterministic(ds):
     dev = DeviceLoader(ds, 4, shuffle=True, num_workers=2,
                        max_frame_hw=(128, 160))

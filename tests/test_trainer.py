@@ -40,6 +40,66 @@ def test_classify_param():
     assert classify_param("modulated_deform_conv_list.0.deform_conv.weight") == "decay"
 
 
+def test_classify_param_modulelist_layernorm():
+    """ModuleList-held LayerNorms ('...embd_norm.0.weight') must land in
+    no_decay like every other nn.LayerNorm (ref: train_utils.py:88-101);
+    round-1 only matched parts[-2]."""
+    assert classify_param("temporal_encoder1.embd_norm.0.weight") == "no_decay"
+    assert classify_param("temporal_encoder1.embd_norm.0.bias") == "no_decay"
+    assert classify_param("flow_encoder.embd_norm.1.weight") == "no_decay"
+    # conv weights next to them still decay
+    assert classify_param("temporal_encoder1.embd.0.weight") == "decay"
+
+
+def test_freeze_hrnet_weights():
+    """MODEL.FREEZE_HRNET_WEIGHTS: HRNet params AND BN running stats are
+    bit-identical after a train step while the heads move
+    (ref: OTPose.py:502-503, HRNet.py:154-158)."""
+    import dataclasses
+
+    cfg = tiny_otpose_cfg(image_size=32, heatmap_size=8)
+    cfg.MODEL.FREEZE_HRNET_WEIGHTS = True
+    spec = OTPoseSpec.from_cfg(cfg)
+    assert spec.freeze_hrnet
+    params, model_state = init_otpose(jax.random.PRNGKey(0), spec)
+    schedule = make_schedule(cfg, num_iters_per_epoch=5)
+    optimizer = make_optimizer(params, cfg, schedule)
+    ts = init_train_state(params, model_state, optimizer)
+    step_fn = make_train_step(spec, optimizer, donate=False)
+    batch = _make_batch(np.random.RandomState(3), 2)
+    ts2 = ts
+    for i in range(2):  # warmup LR is 0 at step 0; take 2 steps
+        ts2, metrics = step_fn(ts2, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["final_loss"]))
+
+    frozen_p = [k for k in params if k.startswith("rough_pose_estimation_net.")]
+    frozen_s = [k for k in model_state
+                if k.startswith("rough_pose_estimation_net.")]
+    assert frozen_p and frozen_s
+    for k in frozen_p:
+        np.testing.assert_array_equal(np.asarray(ts2.params[k]),
+                                      np.asarray(params[k]), err_msg=k)
+    for k in frozen_s:
+        np.testing.assert_array_equal(np.asarray(ts2.model_state[k]),
+                                      np.asarray(model_state[k]), err_msg=k)
+    # non-frozen heads still train
+    assert not np.allclose(np.asarray(ts2.params["final_layer1.weight"]),
+                           np.asarray(params["final_layer1.weight"]))
+    # and unfrozen spec does move HRNet params (sanity of the test itself)
+    spec_u = dataclasses.replace(spec, freeze_hrnet=False)
+    cfg.MODEL.FREEZE_HRNET_WEIGHTS = False
+    opt_u = make_optimizer(params, cfg, schedule)
+    ts_u = init_train_state(params, model_state, opt_u)
+    step_u = make_train_step(spec_u, opt_u, donate=False)
+    ts_u2 = ts_u
+    for i in range(2):
+        ts_u2, _ = step_u(ts_u2, batch, jax.random.PRNGKey(i))
+    moved = any(
+        not np.array_equal(np.asarray(ts_u2.params[k]), np.asarray(params[k]))
+        for k in frozen_p)
+    assert moved
+
+
 def test_schedule_matches_reference_closed_form():
     torch = pytest.importorskip("torch")
     import importlib.util
