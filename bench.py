@@ -9,6 +9,11 @@ heatmaps).  ``vs_baseline`` is measured-clips/sec divided by the target
 same model run on host CPU (the torch reference cannot run at all without
 CUDA, so its CPU throughput is bounded above by this FLOP-identical proxy).
 Set BENCH_SKIP_CPU=1 to reuse the cached CPU number.
+
+``BENCH_MODE=train`` instead measures END-TO-END training throughput —
+jpeg decode, device-side warp/normalize/target-gen (DeviceLoader), forward,
+loss, backward, AdamW — on a synthetic flagship-geometry PoseTrack dataset
+(clips/sec incl. the input pipeline; VERDICT r1 task 1b).
 """
 
 from __future__ import annotations
@@ -79,11 +84,103 @@ def _measure(batch: int, iters: int, compute_dtype) -> float:
     return batch * iters / dt
 
 
+def _measure_train_e2e(batch: int, iters: int) -> float:
+    """End-to-end training clips/sec: DeviceLoader (host jpeg decode + device
+    preprocessing) feeding the jit train step, timed over full epochs so the
+    input pipeline is on the clock."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import shutil
+    import tempfile
+
+    from tests.helpers.synthetic_data import make_synthetic_posetrack
+
+    from otpose_tpu.data.device_loader import DeviceLoader
+    from otpose_tpu.data.posetrack import PoseTrackDataset
+    from otpose_tpu.engine.optim import make_optimizer, make_schedule
+    from otpose_tpu.engine.trainer import init_train_state, make_train_step
+    from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    backend = jax.default_backend()
+    root = tempfile.mkdtemp(prefix="otpose_bench_")
+    try:
+        n_samples = max(batch * 8, 64)
+        json_dir, img_dir, annot_dir = make_synthetic_posetrack(
+            root, num_videos=2,
+            frames_per_video=max(4, n_samples // (2 * 4)),
+            people_per_frame=4, img_w=1280, img_h=720)
+        cfg = flagship_otpose_cfg()
+        cfg.DATASET.JSON_DIR = json_dir
+        cfg.DATASET.IMG_DIR = img_dir
+        cfg.DATASET.COLOR_RGB = True
+        cfg.TRAIN.PROB_HALF_BODY = 0.0
+        cfg.TPU.REMAT = batch >= 8
+
+        spec = OTPoseSpec.from_cfg(cfg)
+        params, state = init_otpose(jax.random.PRNGKey(0), spec)
+        ds = PoseTrackDataset(cfg, "train")
+        loader = DeviceLoader(ds, batch, shuffle=True, num_workers=cfg.WORKERS,
+                              drop_last=True, prefetch=2)
+        schedule = make_schedule(cfg, max(1, len(loader)))
+        optimizer = make_optimizer(params, cfg, schedule)
+        ts = init_train_state(params, state, optimizer)
+        compute = jnp.bfloat16 if backend == "tpu" else jnp.float32
+        step_fn = make_train_step(spec, optimizer, compute_dtype=compute,
+                                  donate=True, remat=cfg.TPU.REMAT)
+
+        def fence(t):
+            float(np.asarray(jax.device_get(t.step)))
+
+        # warm: one epoch pass compiles step + preprocess programs
+        rng = jax.random.PRNGKey(0)
+        for i, (b, _) in enumerate(loader):
+            ts, m = step_fn(ts, {k: b[k] for k in ("inputs", "margin", "target",
+                                                   "target_weight")}, rng)
+            if i >= 1:
+                break
+        fence(ts)
+
+        done = 0
+        t0 = time.perf_counter()
+        epoch = 0
+        while done < iters:
+            epoch += 1
+            loader.set_epoch(epoch)
+            for b, _ in loader:
+                ts, m = step_fn(ts, {k: b[k] for k in
+                                     ("inputs", "margin", "target",
+                                      "target_weight")}, rng)
+                done += 1
+                if done >= iters:
+                    break
+        fence(ts)
+        dt = max(time.perf_counter() - t0, 1e-6)
+        return batch * done / dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     import jax
 
     backend = jax.default_backend()
     import jax.numpy as jnp
+
+    if os.environ.get("BENCH_MODE") == "train":
+        value = _measure_train_e2e(int(os.environ.get("BENCH_BATCH", "8")),
+                                   int(os.environ.get("BENCH_ITERS", "24")))
+        print(json.dumps({
+            "metric": f"posetrack17_train_e2e_clips_per_sec_per_chip[{backend}]",
+            "value": round(value, 3),
+            "unit": "clips/sec",
+            "vs_baseline": None,
+        }))
+        return
 
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     value = _measure(BATCH, ITERS, dtype)

@@ -22,6 +22,7 @@ from otpose_tpu.engine.runner import (evaluate_epoch, evaluate_epoch_decoded,
                                       make_flip_eval_step)
 from otpose_tpu.engine.trainer import make_decoded_eval_step, make_eval_step
 from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+from otpose_tpu.parallel.mesh import make_mesh, make_eval_shard_fn, replicate
 
 logger = logging.getLogger(__name__)
 
@@ -37,6 +38,11 @@ class Eval(RunBase):
         self.spec = OTPoseSpec.from_cfg(cfg)
         self.model_file = sub.MODEL_FILE
         self.flip = sub.FLIP_VAL if phase == "validate" else sub.FLIP_TEST
+
+        self.mesh = make_mesh(cfg)
+        self._mesh_ctx = jax.sharding.set_mesh(self.mesh)
+        self._mesh_ctx.__enter__()
+        self.shard_fn = make_eval_shard_fn(self.mesh)
 
         compute_dtype = jnp.bfloat16 \
             if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
@@ -82,7 +88,8 @@ class Eval(RunBase):
                 else evaluate_epoch
             name_values, mean_ap = eval_epoch(
                 self.eval_fn, params, model_state, self.loader, self.dataset,
-                self.cfg, self.cfg.OUTPUT_DIR, phase=self.phase)
+                self.cfg, self.cfg.OUTPUT_DIR, phase=self.phase,
+                shard_fn=self.shard_fn)
             results.append((model_file, name_values, mean_ap))
         return results
 
@@ -102,6 +109,8 @@ class Eval(RunBase):
             if k in model_state and tuple(model_state[k].shape) == tuple(v.shape):
                 model_state[k] = jnp.asarray(v)
         logger.info("=> loaded %d/%d tensors", n, len(params))
+        params = replicate(self.mesh, params)
+        model_state = replicate(self.mesh, model_state)
         if self.cfg.TPU.PARAM_DTYPE == "bfloat16":
             # eval-only bf16 params: halves param HBM reads; batch-norm/
             # layer-norm statistics still run in f32 inside the kernels

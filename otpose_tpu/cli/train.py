@@ -26,7 +26,8 @@ from otpose_tpu.engine.trainer import (init_train_state, make_decoded_eval_step,
 from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
 from otpose_tpu.models.torch2jax import filter_pretrained_for_otpose
 from otpose_tpu.ops.heatmap import adjust_sigma
-from otpose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from otpose_tpu.parallel.mesh import (make_eval_shard_fn, make_mesh, replicate,
+                                      shard_batch)
 
 logger = logging.getLogger(__name__)
 
@@ -158,7 +159,8 @@ class Train(RunBase):
         _, mean_ap = evaluate_epoch_decoded(
             self.eval_fn, self.train_state.params, self.train_state.model_state,
             self._val_loader, self._val_dataset, cfg, cfg.OUTPUT_DIR,
-            phase="validate", tb_writer=self.tb_writer, global_steps=tb_steps)
+            phase="validate", tb_writer=self.tb_writer, global_steps=tb_steps,
+            shard_fn=make_eval_shard_fn(self.mesh))
         return mean_ap
 
 

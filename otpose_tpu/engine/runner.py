@@ -126,9 +126,11 @@ def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
 
 def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
                    output_dir: str, *, phase: str = "validate",
-                   tb_writer=None, global_steps: int = 0):
+                   tb_writer=None, global_steps: int = 0, shard_fn=None):
     """Full evaluation pass (ref: script/Common.py:296-453).
-    Returns (name_values, mean_ap)."""
+    Returns (name_values, mean_ap).  ``shard_fn`` places the forward batch
+    over the device mesh (multi-chip eval; the reference scales eval batches
+    with len(GPUS), ref: eval.py:30-33)."""
     batch_time = AverageMeter()
     acc_meter = AverageMeter()
 
@@ -148,9 +150,10 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
         decode/accumulate work (and hiding the fetch RTT)."""
         pending = None
         for batch, metas in loader:
-            heat = eval_fn(params, model_state,
-                           {k: jnp.asarray(batch[k])
-                            for k in ("inputs", "margin")})[0]
+            fwd = {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")}
+            if shard_fn is not None:
+                fwd = shard_fn(fwd)
+            heat = eval_fn(params, model_state, fwd)[0]
             if pending is not None:
                 p_heat, p_batch, p_metas = pending
                 yield np.asarray(p_heat), p_batch, p_metas
@@ -255,7 +258,8 @@ def _print_name_value(name_value, full_arch_name):
 
 def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
                            cfg, output_dir: str, *, phase: str = "validate",
-                           tb_writer=None, global_steps: int = 0):
+                           tb_writer=None, global_steps: int = 0,
+                           shard_fn=None):
     """Evaluation with on-device decode: fetches 17 coords per box instead of
     full heatmaps (the reference decodes heatmaps on host per box,
     ref: script/Common.py:419-432).  Functionally equivalent to
@@ -279,9 +283,10 @@ def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
     def _iter_pipelined():
         pending = None
         for batch, metas in loader:
-            outs = decoded_fn(params, model_state,
-                              {k: jnp.asarray(batch[k])
-                               for k in ("inputs", "margin")})
+            fwd = {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")}
+            if shard_fn is not None:
+                fwd = shard_fn(fwd)
+            outs = decoded_fn(params, model_state, fwd)
             if pending is not None:
                 p_outs, p_batch, p_metas = pending
                 yield tuple(np.asarray(o) for o in p_outs), p_batch, p_metas

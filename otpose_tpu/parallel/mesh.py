@@ -46,3 +46,19 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def make_eval_shard_fn(mesh: Mesh):
+    """Batch-sharding placement for eval loops.  The last eval batch may not
+    divide the device count (eval loaders don't drop_last); such a batch is
+    placed replicated instead — correctness is unaffected, only that one
+    batch loses the parallelism."""
+    n = mesh.devices.size
+
+    def shard_fn(batch):
+        bs = next(iter(batch.values())).shape[0]
+        if bs % n == 0:
+            return shard_batch(mesh, batch)
+        return replicate(mesh, batch)
+
+    return shard_fn

@@ -39,6 +39,33 @@ def test_device_loader_matches_host_loader(ds):
     assert [m["image"] for m in dm] == [m["image"] for m in hm]
 
 
+def test_device_loader_matches_host_at_flagship_geometry(tmp_path):
+    """Host/device equivalence at the shipped shape: 288x384 crop, 72x96
+    heatmaps, sigma 3 (VERDICT r1 task 1a)."""
+    json_dir, img_dir, annot_dir = make_synthetic_posetrack(
+        str(tmp_path), num_videos=1, frames_per_video=3, people_per_frame=2,
+        img_w=640, img_h=480)
+    cfg = _cfg_for(json_dir, img_dir, annot_dir)
+    cfg.MODEL.IMAGE_SIZE = [288, 384]
+    cfg.MODEL.HEATMAP_SIZE = [72, 96]
+    cfg.MODEL.SIGMA = 3
+    ds = PoseTrackDataset(cfg, "validate")
+    host = Loader(ds, 4, shuffle=False, num_workers=2)
+    dev = DeviceLoader(ds, 4, shuffle=False, num_workers=2,
+                       max_frame_hw=(512, 768))
+    (hb, hm), (db, dm) = next(iter(host)), next(iter(dev))
+    assert db["inputs"].shape == hb["inputs"].shape == (4, 384, 288, 15)
+    assert db["target"].shape == hb["target"].shape == (4, 96, 72, 17)
+    diff = np.abs(np.asarray(db["inputs"]) - hb["inputs"])
+    assert diff.max() < 0.15, diff.max()  # cv2 fixed-point vs float bilinear
+    np.testing.assert_allclose(np.asarray(db["target"]), hb["target"],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db["target_weight"]),
+                               hb["target_weight"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db["margin"]), hb["margin"])
+    assert [m["image"] for m in dm] == [m["image"] for m in hm]
+
+
 def test_loader_propagates_producer_errors(ds):
     """A failing sample load must raise in the consumer, not hang the
     out_q.get() forever (round-1 advisor finding)."""
