@@ -223,10 +223,18 @@ _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.PREFETCH_DEPTH = 2            # host->device pipeline depth
 _C.TPU.DONATE_STATE = True           # donate train-state buffers to the jit step
 _C.TPU.REMAT = False                 # recompute forward in backward (bigger batches)
-_C.TPU.USE_PALLAS = True             # use Pallas kernels where available
+# NOTE: no Pallas knob — the deformable-conv battery ships as the gather-free
+# tent-matmul XLA formulation (ops/deform_conv.py), which measures within
+# ~25% of the fused-VMEM floor on v5e; two Pallas kernels (dense-tent and
+# shift-decomposition) were built, benchmarked slower, and removed.  See
+# STATUS.md "Deform kernel analysis".
 _C.TPU.PROFILE_DIR = ""              # non-empty: capture jax.profiler traces here
-# device preprocessing (warp/normalize/target-gen on TPU): auto | on | off.
-# "auto" = on when the default backend is an accelerator.
+# device preprocessing: auto | off | crops | full.
+#   crops: host warps uint8 crops (minimal host->device bytes); device does
+#          normalize + temporal assembly + target generation
+#   full:  device also does the 5-frame warp (separable matmul) from staged
+#          raw frames — for co-located hosts where shipping pixels is cheap
+#   auto:  crops when the default backend is an accelerator, else off
 _C.TPU.DEVICE_PREPROCESS = "auto"
 _C.TPU.MAX_FRAME_HW = [1088, 1920]   # raw-frame staging buffer (covers PoseTrack)
 

@@ -10,24 +10,32 @@ PoseTrackDataset.py:388-425) based on ``cfg.TPU.DEVICE_PREPROCESS``.
 from __future__ import annotations
 
 
-def device_preprocess_enabled(cfg) -> bool:
-    """Resolve cfg.TPU.DEVICE_PREPROCESS: "auto" | "on" | "off".
+def resolve_device_preprocess(cfg) -> str:
+    """Resolve cfg.TPU.DEVICE_PREPROCESS to "off" | "crops" | "full".
 
-    "auto" turns device preprocessing on whenever the default jax backend is
-    an accelerator (TPU/GPU) — on CPU the extra staging copy has no compute
-    to hide behind, and the host path is the parity oracle anyway.
+    "auto" selects the crops mode whenever the default jax backend is an
+    accelerator (TPU/GPU) — crops minimize host->device bytes, the usual
+    constraint — and the host path on CPU (no compute to hide the staging
+    copy behind; the host path is also the parity oracle).  "on" is accepted
+    as an alias for "crops".
     """
     mode = str(cfg.TPU.DEVICE_PREPROCESS).lower()
-    if mode in ("on", "true", "1"):
-        return True
+    if mode in ("on", "true", "1", "crops"):
+        return "crops"
+    if mode == "full":
+        return "full"
     if mode in ("off", "false", "0"):
-        return False
+        return "off"
     if mode != "auto":
-        raise ValueError(f"TPU.DEVICE_PREPROCESS must be auto/on/off, "
-                         f"got {cfg.TPU.DEVICE_PREPROCESS!r}")
+        raise ValueError(f"TPU.DEVICE_PREPROCESS must be auto/off/crops/full,"
+                         f" got {cfg.TPU.DEVICE_PREPROCESS!r}")
     import jax
 
-    return jax.default_backend() != "cpu"
+    return "crops" if jax.default_backend() != "cpu" else "off"
+
+
+def device_preprocess_enabled(cfg) -> bool:
+    return resolve_device_preprocess(cfg) != "off"
 
 
 def make_loader(cfg, dataset, batch_size: int, *, shuffle: bool,
@@ -38,9 +46,10 @@ def make_loader(cfg, dataset, batch_size: int, *, shuffle: bool,
     kwargs = dict(shuffle=shuffle, num_workers=cfg.WORKERS,
                   seed=cfg.SEED if seed is None else seed,
                   drop_last=drop_last, prefetch=cfg.TPU.PREFETCH_DEPTH)
-    if device_preprocess_enabled(cfg):
+    mode = resolve_device_preprocess(cfg)
+    if mode != "off":
         from otpose_tpu.data.device_loader import DeviceLoader
 
-        return DeviceLoader(dataset, batch_size,
+        return DeviceLoader(dataset, batch_size, mode=mode,
                             max_frame_hw=tuple(cfg.TPU.MAX_FRAME_HW), **kwargs)
     return Loader(dataset, batch_size, **kwargs)

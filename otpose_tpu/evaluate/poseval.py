@@ -376,7 +376,8 @@ def evaluate(gtdir: str, preddir: str, eval_pose: bool = True,
     if eval_track:
         from otpose_tpu.evaluate.tracking import evaluate_tracking
 
-        metrics_all = evaluate_tracking(gt_frames, pr_frames)
+        metrics_all = evaluate_tracking(gt_frames, pr_frames,
+                                        eval_upper_bound=eval_upper_bound)
         metrics = np.full((N_JOINTS + 4, 1), np.nan)
         for i in range(N_JOINTS + 1):
             metrics[i, 0] = metrics_all["mota"][0, i]

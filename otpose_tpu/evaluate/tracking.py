@@ -75,10 +75,33 @@ class MotAccumulator:
 
 def evaluate_tracking(gt_frames: List[dict], pr_frames: List[dict],
                       eval_upper_bound: bool = False):
-    """ref: utils/evaluate.py:232-241 + computeMetrics 923-1119."""
+    """ref: utils/evaluate.py:232-241 + computeMetrics 923-1119.
+
+    ``eval_upper_bound=True`` scores tracking with an ID oracle: every
+    prediction that keypoint-matches a GT inherits that GT's track id, so ID
+    switches measure only the matching, not the tracker — the MOTA upper
+    bound.  (The reference accepts this flag at evaluate.py:884 but plumbs it
+    into ``evaluate_tracking``'s *outputDir* positional at :908 vs :232, so
+    upstream it silently did nothing; this is the intended semantics.)
+    """
     from otpose_tpu.evaluate.poseval import assign_gt_multi
 
     _, _, _, mot_all = assign_gt_multi(gt_frames, pr_frames, 0.5)
+
+    if eval_upper_bound:
+        for mot in mot_all.values():
+            for m in mot.values():
+                d = np.asarray(m["dist"], dtype=np.float64)   # (G, P)
+                if d.size == 0:
+                    continue
+                pr_ids = list(m["trackidxPr"])
+                for jcol in range(d.shape[1]):
+                    col = d[:, jcol]
+                    if np.any(np.isfinite(col)):
+                        gi = int(np.nanargmin(np.where(np.isfinite(col), col,
+                                                       np.inf)))
+                        pr_ids[jcol] = m["trackidxGT"][gi]
+                m["trackidxPr"] = pr_ids
 
     seqidxs = np.array([f["seq_id"] for f in gt_frames])
     uniq = np.unique(seqidxs)

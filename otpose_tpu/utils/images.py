@@ -116,3 +116,40 @@ def images2video(image_paths: Sequence[str], out_path: str, fps: int = 25):
         writer.write(cv2.imread(p))
     writer.release()
     return out_path
+
+
+def image2video(image_dir: str, name: str, fps: int = 25,
+                out_dir: str = "output") -> str:
+    """Reference-surface wrapper: all .jpg frames of a directory, sorted, to
+    ``<out_dir>/<name>.mp4`` (ref: utils/images.py:161-174 writes DIVX to
+    ./output; mp4v is the portable equivalent)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = sorted(osp.join(image_dir, f) for f in os.listdir(image_dir)
+                   if f.endswith(".jpg"))
+    if not paths:
+        raise FileNotFoundError(f"no .jpg frames in {image_dir}")
+    return images2video(paths, osp.join(out_dir, f"{name}.mp4"), fps)
+
+
+def save_fusion_images(out_dir: str, img: np.ndarray, name: str = "",
+                       heatmaps: Optional[np.ndarray] = None) -> list:
+    """Per-joint heatmap-fusion overlays, one png per keypoint
+    (ref: utils/evaluate.py:244-256: min-max normalized image, BONE colormap,
+    0.3*img + 0.7*heatmap blend, files ``{name}{joint}_img_heatmap.png``)."""
+    import cv2
+
+    from otpose_tpu.evaluate.keypoints import POSETRACK_COCO_17
+
+    os.makedirs(out_dir, exist_ok=True)
+    img = np.asarray(img, np.float64)
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-12) * 255
+    paths = []
+    for i, joint_name in enumerate(POSETRACK_COCO_17):
+        hm = np.clip(heatmaps[i] * 255, 0, 255).astype(np.uint8)
+        colored = cv2.applyColorMap(hm, cv2.COLORMAP_BONE)
+        colored = cv2.resize(colored, (img.shape[1], img.shape[0]))
+        blend = img * 0.3 + colored * 0.7
+        path = osp.join(out_dir, f"{name}{joint_name}_img_heatmap.png")
+        cv2.imwrite(path, blend)
+        paths.append(path)
+    return paths

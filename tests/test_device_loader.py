@@ -19,12 +19,13 @@ def ds(tmp_path_factory):
     return PoseTrackDataset(cfg, "validate")
 
 
-def test_device_loader_matches_host_loader(ds):
+@pytest.mark.parametrize("mode", ["crops", "full"])
+def test_device_loader_matches_host_loader(ds, mode):
     """Device-preprocessed batches must match the host (cv2) path within
-    bilinear fixed-point tolerance."""
+    bilinear fixed-point tolerance (crops mode: pixels bit-identical)."""
     host = Loader(ds, 4, shuffle=False, num_workers=2)
     dev = DeviceLoader(ds, 4, shuffle=False, num_workers=2,
-                       max_frame_hw=(128, 160))
+                       max_frame_hw=(128, 160), mode=mode)
     (hb, hm), (db, dm) = next(iter(host)), next(iter(dev))
 
     assert hb["inputs"].shape == db["inputs"].shape
@@ -39,7 +40,8 @@ def test_device_loader_matches_host_loader(ds):
     assert [m["image"] for m in dm] == [m["image"] for m in hm]
 
 
-def test_device_loader_matches_host_at_flagship_geometry(tmp_path):
+@pytest.mark.parametrize("mode", ["crops", "full"])
+def test_device_loader_matches_host_at_flagship_geometry(tmp_path, mode):
     """Host/device equivalence at the shipped shape: 288x384 crop, 72x96
     heatmaps, sigma 3 (VERDICT r1 task 1a)."""
     json_dir, img_dir, annot_dir = make_synthetic_posetrack(
@@ -52,7 +54,7 @@ def test_device_loader_matches_host_at_flagship_geometry(tmp_path):
     ds = PoseTrackDataset(cfg, "validate")
     host = Loader(ds, 4, shuffle=False, num_workers=2)
     dev = DeviceLoader(ds, 4, shuffle=False, num_workers=2,
-                       max_frame_hw=(512, 768))
+                       max_frame_hw=(512, 768), mode=mode)
     (hb, hm), (db, dm) = next(iter(host)), next(iter(dev))
     assert db["inputs"].shape == hb["inputs"].shape == (4, 384, 288, 15)
     assert db["target"].shape == hb["target"].shape == (4, 96, 72, 17)
@@ -64,6 +66,38 @@ def test_device_loader_matches_host_at_flagship_geometry(tmp_path):
                                hb["target_weight"], atol=1e-5)
     np.testing.assert_allclose(np.asarray(db["margin"]), hb["margin"])
     assert [m["image"] for m in dm] == [m["image"] for m in hm]
+
+
+@pytest.mark.parametrize("mode", ["crops", "full"])
+def test_device_loader_matches_host_train_with_rotation(tmp_path, mode):
+    """Train-phase parity incl. the rotated-sample host-prewarp path: with
+    augmentation active (flip/rot/blur/scale), device batches must match the
+    host path bit-for-bit on rotated samples (same cv2 warp) and within
+    bilinear tolerance elsewhere."""
+    json_dir, img_dir, annot_dir = make_synthetic_posetrack(
+        str(tmp_path), num_videos=1, frames_per_video=4, people_per_frame=2)
+    cfg = _cfg_for(json_dir, img_dir, annot_dir)
+    cfg.TRAIN.FLIP = True
+    cfg.TRAIN.ROT_FACTOR = 30
+    cfg.TRAIN.SCALE_FACTOR = [0.25, 0.25]
+    ds_t = PoseTrackDataset(cfg, "train")
+
+    host = Loader(ds_t, 8, shuffle=False, num_workers=2, seed=7)
+    dev = DeviceLoader(ds_t, 8, shuffle=False, num_workers=2, seed=7,
+                       max_frame_hw=(128, 160), mode=mode)
+    host.set_epoch(1)
+    dev.set_epoch(1)
+    (hb, hm), (db, dm) = next(iter(host)), next(iter(dev))
+    # same augmentation draws (same per-sample rng streams) -> same rotations
+    rots = [m["rotation"] for m in dm]
+    assert rots == [m["rotation"] for m in hm]
+    assert any(r != 0 for r in rots), "rng draw produced no rotated sample"
+    diff = np.abs(np.asarray(db["inputs"]) - hb["inputs"])
+    assert diff.max() < 0.15, diff.max()
+    np.testing.assert_allclose(np.asarray(db["target"]), hb["target"],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db["target_weight"]),
+                               hb["target_weight"], atol=1e-5)
 
 
 def test_loader_propagates_producer_errors(ds):

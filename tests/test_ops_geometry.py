@@ -82,6 +82,35 @@ def test_warp_affine_matches_cv2(rng):
         assert np.abs(ours - ref).max() < 2.5
 
 
+def test_warp_affine_separable_matches_cv2_and_gather(rng):
+    """The separable (matmul) warp must equal cv2 and the gather warp for
+    axis-aligned maps, including border blending (BORDER_CONSTANT 0)."""
+    from otpose_tpu.ops.affine import warp_affine_separable
+
+    img = rng.rand(240, 320, 3).astype(np.float32) * 255
+    center = np.array([30.0, 110.0], np.float32)  # near the border on purpose
+    scale = np.array([0.9, 1.2], np.float32)
+    trans = get_affine_transform(center, scale, 0.0, (72, 96))
+    inv = invert_affine(trans)
+    assert abs(inv[0, 1]) < 1e-5 and abs(inv[1, 0]) < 1e-5  # axis-aligned
+    ref = cv2.warpAffine(img, np.float64(trans), (72, 96), flags=cv2.INTER_LINEAR)
+    gather = np.asarray(warp_affine(img[None], inv[None], 96, 72))[0]
+    ours = np.asarray(warp_affine_separable(img[None], inv[None], 96, 72))[0]
+    assert np.abs(ours - ref).max() < 2.5      # cv2 5-bit fixed point
+    np.testing.assert_allclose(ours, gather, atol=1e-2)
+
+    # per-sample batched matrices
+    imgs = rng.rand(3, 64, 80, 3).astype(np.float32)
+    invs = np.stack([
+        np.array([[0.5, 0, 4.0], [0, 0.7, 2.0]], np.float32),
+        np.array([[1.5, 0, -3.0], [0, 1.1, 1.0]], np.float32),
+        np.array([[2.0, 0, 40.0], [0, 2.0, 30.0]], np.float32),  # off-edge
+    ])
+    g = np.asarray(warp_affine(imgs, invs, 32, 24))
+    s = np.asarray(warp_affine_separable(imgs, invs, 32, 24))
+    np.testing.assert_allclose(s, g, atol=1e-4)
+
+
 def test_box2cs_cs2box():
     c, s = box2cs([10, 20, 50, 100], aspect_ratio=0.75, enlarge_factor=1.0)
     np.testing.assert_allclose(c, [35.0, 70.0])

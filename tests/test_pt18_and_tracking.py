@@ -99,3 +99,20 @@ def test_evaluate_tracking_perfect(synth18, tmp_path):
     # which matches GT track order here -> perfect MOTA
     assert fin["mota"][0, -1] == pytest.approx(100.0, abs=1e-6)
     assert fin["rec"][0, -1] == pytest.approx(100.0, abs=1e-6)
+
+    # corrupt the predicted track ids on alternating frames -> ID switches
+    # tank MOTA; the ID-oracle upper bound restores it (VERDICT r1 task 10)
+    import copy
+
+    pr_bad = copy.deepcopy(pr)
+    for k, frame in enumerate(pr_bad):
+        if k % 2 == 0:
+            continue
+        ids = [r["track_id"][0] for r in frame["annorect"]]
+        for r, new_id in zip(frame["annorect"], ids[::-1]):
+            r["track_id"] = [new_id]
+    fin_bad = evaluate_tracking(copy.deepcopy(gt), copy.deepcopy(pr_bad))
+    fin_ub = evaluate_tracking(copy.deepcopy(gt), copy.deepcopy(pr_bad),
+                               eval_upper_bound=True)
+    assert fin_bad["mota"][0, -1] < 100.0 - 1e-6
+    assert fin_ub["mota"][0, -1] == pytest.approx(100.0, abs=1e-6)

@@ -175,24 +175,6 @@ def main():
     stages["deform_core"] = (jax.jit(deform_core_only),
                              (params, state, heat, off, msk), b)
 
-    def pallas_core_only(params, state, dh, off, msk):
-        from otpose_tpu.ops.pallas.deform_kernel import fused_deform_refinement
-
-        ctx = Ctx(params, state, train=False, compute_dtype=dt)
-        weights = jnp.stack([
-            ctx.param(f"modulated_deform_conv_list.{d}.deform_conv.weight")
-            for d in range(len(spec.dilations))])
-        biases = jnp.stack([
-            ctx.param(f"modulated_deform_conv_list.{d}.deform_conv.bias")
-            for d in range(len(spec.dilations))])
-        return fused_deform_refinement(
-            dh, list(off), list(msk), weights, biases, kernel=3,
-            padding_list=tuple(spec.dilations),
-            dilation_list=tuple(spec.dilations), deformable_groups=j)
-
-    stages["pallas_deform_core"] = (jax.jit(pallas_core_only),
-                                    (params, state, heat, off, msk), b)
-
     want = [s.strip() for s in args.stages.split(",") if s.strip()] or None
     print(f"backend={jax.default_backend()} batch={b} dtype={dt.__name__}")
     results = {}
