@@ -39,8 +39,15 @@ def _build(compute_dtype):
 
     if compute_dtype is None:
         compute_dtype = jnp.float32
+    from otpose_tpu.models.otpose import prepare_eval_params
+
     spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
     params, state = init_otpose(jax.random.PRNGKey(0), spec)
+    # eval fast path: paired temporal encoders + bf16 weights, prepared once
+    # outside the step (models/otpose.py::prepare_eval_params)
+    params = prepare_eval_params(
+        params, spec,
+        param_dtype=compute_dtype if compute_dtype != jnp.float32 else None)
 
     def f(params, state, x, margin):
         ctx = Ctx(params, state, train=False, compute_dtype=compute_dtype)

@@ -21,7 +21,8 @@ from otpose_tpu.engine.base import RunBase
 from otpose_tpu.engine.runner import (evaluate_epoch, evaluate_epoch_decoded,
                                       make_flip_eval_step)
 from otpose_tpu.engine.trainer import make_decoded_eval_step, make_eval_step
-from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+from otpose_tpu.models.otpose import (OTPoseSpec, init_otpose,
+                                      prepare_eval_params)
 from otpose_tpu.parallel.mesh import make_mesh, make_eval_shard_fn, replicate
 
 logger = logging.getLogger(__name__)
@@ -109,13 +110,15 @@ class Eval(RunBase):
             if k in model_state and tuple(model_state[k].shape) == tuple(v.shape):
                 model_state[k] = jnp.asarray(v)
         logger.info("=> loaded %d/%d tensors", n, len(params))
+        # eval fast path (once per checkpoint, outside the step): paired
+        # temporal encoders; optional bf16 weights — halves param HBM reads,
+        # norm statistics still run in f32 inside the kernels
+        params = prepare_eval_params(
+            params, self.spec,
+            param_dtype=jnp.bfloat16
+            if self.cfg.TPU.PARAM_DTYPE == "bfloat16" else None)
         params = replicate(self.mesh, params)
         model_state = replicate(self.mesh, model_state)
-        if self.cfg.TPU.PARAM_DTYPE == "bfloat16":
-            # eval-only bf16 params: halves param HBM reads; batch-norm/
-            # layer-norm statistics still run in f32 inside the kernels
-            params = {k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
-                      for k, v in params.items()}
         return params, model_state
 
 

@@ -22,7 +22,12 @@ from otpose_tpu.data.pipeline import collate_host_samples
 class Loader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 4, seed: int = 8888, drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, native_host: bool = True):
+        # native_host: route each sample's warp/normalize/target-gen through
+        # the C++/OpenMP batch kernels when native/libotpose_io.so is built
+        # (float-bilinear warp, ~1 u8 LSB vs cv2's fixed point — see
+        # PoseTrackDataset.get_sample_host)
+        self.native_host = native_host
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -62,7 +67,8 @@ class Loader:
             bidx, within, idx = args
             rng = np.random.RandomState(
                 (self.seed + self.epoch * 1_000_003 + idx) % (2 ** 31))
-            return self.dataset.get_sample_host(int(idx), rng=rng)
+            return self.dataset.get_sample_host(int(idx), rng=rng,
+                                                native_ok=self.native_host)
 
         def producer():
             # Any sample-load failure is forwarded to the consumer instead of

@@ -271,10 +271,18 @@ class PoseTrackDataset:
     # ------------------------------------------------------------- host path
 
     def get_sample_host(self, item_idx: int,
-                        rng: Optional[np.random.RandomState] = None) -> dict:
+                        rng: Optional[np.random.RandomState] = None,
+                        native_ok: bool = False) -> dict:
         """Full host-side sample (5 warped frames + targets + meta), matching
         the reference __getitem__ (ref: PoseTrackDataset.py:228-451).  Used by
         parity tests and as the fallback when device preprocessing is off.
+
+        ``native_ok=True`` (the production ``Loader`` default) routes the warp
+        +normalize and target generation through the C++/OpenMP batch kernels
+        (native/otpose_io.cpp) when the library is built.  Target generation
+        is formula-identical (<=1e-5); the warp uses float bilinear where cv2
+        uses 5-bit fixed point, so pixels differ by up to ~1 u8 LSB — parity
+        tests call with the default ``native_ok=False`` for cv2-exact output.
         """
         import cv2
 
@@ -312,10 +320,24 @@ class PoseTrackDataset:
 
         trans = get_affine_transform(center, scale, r, self.image_size)
         w, h = int(self.image_size[0]), int(self.image_size[1])
-        warped = [cv2.warpAffine(im, np.float64(trans), (w, h),
-                                 flags=cv2.INTER_LINEAR) for im in imgs]
-        frames = [((im.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
-                  for im in warped]
+        use_native = False
+        if native_ok and len({im.shape for im in imgs}) == 1:
+            from otpose_tpu.data import native as native_io
+            use_native = native_io.is_available()
+        if use_native:
+            from otpose_tpu.data import native as native_io
+            from otpose_tpu.ops.affine import invert_affine
+            stack = np.ascontiguousarray(np.stack(imgs))
+            n = stack.shape[0]
+            hs = np.full(n, stack.shape[1], np.int32)
+            ws = np.full(n, stack.shape[2], np.int32)
+            inv = np.repeat(invert_affine(trans)[None], n, axis=0)
+            frames = list(native_io.warp_normalize_batch(stack, hs, ws, inv, h, w))
+        else:
+            warped = [cv2.warpAffine(im, np.float64(trans), (w, h),
+                                     flags=cv2.INTER_LINEAR) for im in imgs]
+            frames = [((im.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+                      for im in warped]
 
         for i in range(self.num_joints):
             if joints_vis[i, 0] > 0.0:
@@ -324,11 +346,22 @@ class PoseTrackDataset:
             if x < 0 or y < 0 or x > self.image_size[0] or y > self.image_size[1]:
                 joints_vis[i] = [0, 0, 0]
 
-        target, target_weight = generate_heatmaps(
-            joints, joints_vis, self.sigma, self.image_size, self.heatmap_size,
-            self.num_joints,
-            use_different_joints_weight=self.use_different_joints_weight,
-            joints_weight=JOINTS_WEIGHT)
+        if use_native:
+            tgt, wgt = native_io.generate_targets_batch(
+                joints[None, :, :2], joints_vis[None, :, 0].astype(np.float32),
+                float(self.sigma),
+                float(self.image_size[0]) / float(self.heatmap_size[0]),
+                float(self.image_size[1]) / float(self.heatmap_size[1]),
+                int(self.heatmap_size[0]), int(self.heatmap_size[1]))
+            target, target_weight = tgt[0], wgt[0][:, None]
+            if self.use_different_joints_weight:
+                target_weight = target_weight * JOINTS_WEIGHT
+        else:
+            target, target_weight = generate_heatmaps(
+                joints, joints_vis, self.sigma, self.image_size, self.heatmap_size,
+                self.num_joints,
+                use_different_joints_weight=self.use_different_joints_weight,
+                joints_weight=JOINTS_WEIGHT)
 
         meta = {
             "image": record["image"],

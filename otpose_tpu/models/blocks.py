@@ -41,7 +41,9 @@ def _dense_1x1(ctx: Ctx, name: str, x: jnp.ndarray) -> jnp.ndarray:
                    preferred_element_type=core._preferred(ctx.compute_dtype),
                    precision=core._mxu_precision(ctx.compute_dtype)).astype(x.dtype)
     b = ctx.params.get(ctx._key(f"{name}.bias"))
-    return y + b if b is not None else y
+    # cast the f32 bias param: y + f32 would silently promote the whole
+    # downstream activation chain to f32 in bf16 mode
+    return y + b.astype(y.dtype) if b is not None else y
 
 
 def masked_mhca(ctx: Ctx, x: jnp.ndarray, n_head: int, stride: int = 1,
@@ -95,7 +97,7 @@ def affine_drop_path(ctx: Ctx, name: str, x: jnp.ndarray, drop_prob: float) -> j
     (torch nn.Identity) and this is a no-op."""
     if not ctx.has(f"{name}.scale"):
         return x
-    scale = ctx.param(f"{name}.scale")
+    scale = ctx.param(f"{name}.scale").astype(x.dtype)  # f32 param would promote
     return ctx.drop_path(x * scale, drop_prob)
 
 

@@ -63,14 +63,16 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
     tokens = x.reshape(b, t, spec.n_embd)
 
     if spec.use_abs_pe:
-        pe = ctx.state[ctx._key("pos_embd")]  # (1, max_len, C)
+        pe = ctx.state[ctx._key("pos_embd")]  # (1, max_len, C), f32
         if ctx.train:
             assert t <= spec.max_len, "Reached max length."
-            tokens = tokens + pe[:, :t]
-        else:
-            if t >= spec.max_len:
-                pe = core.interpolate_linear_to(pe, t)
-            tokens = tokens + pe[:, :t]
+        elif t >= spec.max_len:
+            pe = core.interpolate_linear_to(pe, t)
+        # add in f32, round back ONCE: without the cast the f32 PE buffer
+        # silently promotes bf16 tokens to f32 and the whole encoder (and
+        # every consumer downstream) runs f32 elementwise ops — 2x the HBM
+        # traffic of the intended bf16 activation path
+        tokens = (tokens + pe[:, :t]).astype(x.dtype)
 
     def _win(level):
         if not spec.mha_win_size:

@@ -270,6 +270,33 @@ def batch_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     return y.astype(x.dtype), new_mean, new_var
 
 
+def batch_norm_multi(ctx: "Ctx", names, chs, x: jnp.ndarray) -> jnp.ndarray:
+    """Batch norm over the channel-concatenated outputs of several BN layers.
+
+    Per-channel statistics make BN exactly separable over channel groups, so
+    concatenating the params/state of ``names`` and normalizing once is
+    bit-equivalent to normalizing each group with its own layer — but it is
+    ONE kernel instead of len(names) (each small kernel costs ~0.03-0.4 ms
+    of launch/latency on v5e; see STATUS.md perf log).  Train-mode running-
+    stat updates are split back to the original state keys.
+    """
+    cat = lambda leaf, src: jnp.concatenate(  # noqa: E731
+        [src[ctx._key(f"{n}.{leaf}")] for n in names])
+    y, new_mean, new_var = batch_norm(
+        x, cat("weight", ctx.params), cat("bias", ctx.params),
+        cat("running_mean", ctx.state), cat("running_var", ctx.state),
+        train=ctx.train, sync_axis=ctx.sync_axis)
+    if ctx.train:
+        off = 0
+        for n, ch in zip(names, chs):
+            ctx._root.new_state[ctx._key(f"{n}.running_mean")] = \
+                new_mean[off:off + ch]
+            ctx._root.new_state[ctx._key(f"{n}.running_var")] = \
+                new_var[off:off + ch]
+            off += ch
+    return y
+
+
 def layer_norm_c(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                  eps: float = LN_EPS) -> jnp.ndarray:
     """Channel layer norm with biased variance (ref: blocks.py:95-110).

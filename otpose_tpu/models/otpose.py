@@ -177,8 +177,11 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
                   next_int, close_int, far_int])
 
     tspec = spec.temporal_spec()
-    # (measured: vmapping the two encoders over stacked params is ~7% slower
-    # than sequential execution — param stacking dominates; see STATUS.md)
+    # (both round 1 and round 2 measured the "obvious" batching of the two
+    # encoders — vmap over stacked params — SLOWER than sequential execution:
+    # ~7% with in-step stacking, ~7% even with params pre-stacked outside the
+    # step.  XLA lowers the s=2 batched matmuls worse than two plain ones.
+    # See STATUS.md perf log; keep them sequential.)
     x1_feats = conv_transformer_forward(ctx.sub("temporal_encoder1"), x1, tspec)
     x2_feats = conv_transformer_forward(ctx.sub("temporal_encoder2"), x2, tspec)
     x1m = _tokens_to_map(x1_feats, b, spec.pe_h, spec.pe_w)
@@ -198,6 +201,9 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
 
     offsets_list, masks_list = [], []
     for d_idx, dilation in enumerate(spec.dilations):
+        # (round-2 A/B: concatenating the offsets+masks convs into one conv
+        # per dilation measured +1.4 ms at the flagship shape — XLA already
+        # schedules the pair well — so they stay separate; see STATUS.md)
         offsets_list.append(ctx.conv2d(f"offsets_list.{d_idx}.0", trans,
                                        padding=dilation, dilation=dilation,
                                        bias=False))
@@ -216,6 +222,24 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
         dilation_list=tuple(spec.dilations), deformable_groups=j)
     output = output.astype(jnp.float32)
     return output, rough, intersection, prev_b, context_encoding, squeezed, total_b
+
+
+def prepare_eval_params(params, spec: OTPoseSpec, *, param_dtype=None):
+    """Derived eval-only view of the param dict, built ONCE per eval epoch
+    outside the jitted step: casts >=2-D weights (convs/denses) to
+    ``param_dtype`` — bf16 halves weight HBM reads and drops the per-step
+    cast kernels — while 1-D norm/bias params stay f32 for exact statistics.
+
+    (Round-2 perf log: pre-stacking the two temporal encoders for a vmapped
+    pass was also tried here and measured ~7% SLOWER end-to-end — XLA lowers
+    the s=2 batched matmuls worse than two plain ones — so this transform is
+    dtype-only.  Training and checkpointing always use the plain dict.)
+    """
+    if param_dtype is None:
+        return dict(params)
+    return {k: v.astype(param_dtype)
+            if v.ndim >= 2 and v.dtype == jnp.float32 else v
+            for k, v in params.items()}
 
 
 # ---------------------------------------------------------------------------

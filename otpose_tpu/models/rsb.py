@@ -24,33 +24,65 @@ def _conv_bn_relu(ctx: Ctx, name: str, x: jnp.ndarray, *, kernel: int, padding: 
     return relu(y) if has_relu else y
 
 
+def _pair_cbr(ctx: Ctx, name_a: str, xa: jnp.ndarray, name_b: str,
+              xb: jnp.ndarray, bc: int):
+    """Two independent 3x3 branch convs at the same cascade depth as ONE
+    conv: inputs concatenated on channels, weights block-diagonal.  The
+    off-diagonal zeros cost negligible FLOPs at branch_ch<=20 channels while
+    halving the kernel count — on v5e every small conv costs a fixed
+    ~0.4 ms of launch/latency regardless of width (STATUS.md perf log)."""
+    wa = ctx.param(f"{name_a}.conv.weight")
+    wb = ctx.param(f"{name_b}.conv.weight")
+    w = jnp.zeros((3, 3, 2 * bc, 2 * bc), wa.dtype)
+    w = w.at[:, :, :bc, :bc].set(wa).at[:, :, bc:, bc:].set(wb)
+    bias = jnp.concatenate([ctx.param(f"{name_a}.conv.bias"),
+                            ctx.param(f"{name_b}.conv.bias")])
+    y = core.conv2d(jnp.concatenate([xa, xb], axis=-1), w, bias, padding=1,
+                    compute_dtype=ctx.compute_dtype)
+    y = core.batch_norm_multi(ctx, [f"{name_a}.bn", f"{name_b}.bn"],
+                              [bc, bc], y)
+    y = relu(y)
+    return y[..., :bc], y[..., bc:]
+
+
 def rsb_block(ctx: Ctx, x: jnp.ndarray, in_planes: int, planes: int,
               has_downsample: bool) -> jnp.ndarray:
-    """ref: model/RSB.py:77-103."""
+    """ref: model/RSB.py:77-103.
+
+    The 4-branch cascade is evaluated depth-by-depth with independent convs
+    at equal depth merged into block-diagonal pairs (`_pair_cbr`), and the
+    expand conv merged with the residual downsample (same input).  13 convs
+    become 9; the math is unchanged (independent channel groups)."""
     branch_ch = in_planes * 26 // 64
-    out = _conv_bn_relu(ctx, "conv_bn_relu1", x, kernel=1, padding=0)
+    if has_downsample:
+        # conv_bn_relu1 and the downsample read the SAME input -> one conv
+        w = jnp.concatenate([ctx.param("conv_bn_relu1.conv.weight"),
+                             ctx.param("downsample.conv.weight")], axis=-1)
+        bias = jnp.concatenate([ctx.param("conv_bn_relu1.conv.bias"),
+                                ctx.param("downsample.conv.bias")])
+        y = core.conv2d(x, w, bias, compute_dtype=ctx.compute_dtype)
+        y = core.batch_norm_multi(ctx, ["conv_bn_relu1.bn", "downsample.bn"],
+                                  [4 * branch_ch, planes], y)
+        out = relu(y[..., :4 * branch_ch])         # downsample has no relu
+        residual = y[..., 4 * branch_ch:]
+    else:
+        out = _conv_bn_relu(ctx, "conv_bn_relu1", x, kernel=1, padding=0)
+        residual = x
     spx = [out[..., i * branch_ch:(i + 1) * branch_ch] for i in range(4)]
 
     out_1_1 = _conv_bn_relu(ctx, "conv_bn_relu2_1_1", spx[0], kernel=3, padding=1)
-
     out_2_1 = _conv_bn_relu(ctx, "conv_bn_relu2_2_1", spx[1] + out_1_1, kernel=3, padding=1)
-    out_2_2 = _conv_bn_relu(ctx, "conv_bn_relu2_2_2", out_2_1, kernel=3, padding=1)
-
-    out_3_1 = _conv_bn_relu(ctx, "conv_bn_relu2_3_1", spx[2] + out_2_1, kernel=3, padding=1)
-    out_3_2 = _conv_bn_relu(ctx, "conv_bn_relu2_3_2", out_3_1 + out_2_2, kernel=3, padding=1)
-    out_3_3 = _conv_bn_relu(ctx, "conv_bn_relu2_3_3", out_3_2, kernel=3, padding=1)
-
-    out_4_1 = _conv_bn_relu(ctx, "conv_bn_relu2_4_1", spx[3] + out_3_1, kernel=3, padding=1)
-    out_4_2 = _conv_bn_relu(ctx, "conv_bn_relu2_4_2", out_4_1 + out_3_2, kernel=3, padding=1)
+    out_2_2, out_3_1 = _pair_cbr(ctx, "conv_bn_relu2_2_2", out_2_1,
+                                 "conv_bn_relu2_3_1", spx[2] + out_2_1, branch_ch)
+    out_3_2, out_4_1 = _pair_cbr(ctx, "conv_bn_relu2_3_2", out_3_1 + out_2_2,
+                                 "conv_bn_relu2_4_1", spx[3] + out_3_1, branch_ch)
+    out_3_3, out_4_2 = _pair_cbr(ctx, "conv_bn_relu2_3_3", out_3_2,
+                                 "conv_bn_relu2_4_2", out_4_1 + out_3_2, branch_ch)
     out_4_3 = _conv_bn_relu(ctx, "conv_bn_relu2_4_3", out_4_2 + out_3_3, kernel=3, padding=1)
     out_4_4 = _conv_bn_relu(ctx, "conv_bn_relu2_4_4", out_4_3, kernel=3, padding=1)
 
     out = jnp.concatenate([out_1_1, out_2_2, out_3_3, out_4_4], axis=-1)
     out = _conv_bn_relu(ctx, "conv_bn_relu3", out, kernel=1, padding=0, has_relu=False)
-
-    residual = x
-    if has_downsample:
-        residual = _conv_bn_relu(ctx, "downsample", x, kernel=1, padding=0, has_relu=False)
     return relu(out + residual)
 
 

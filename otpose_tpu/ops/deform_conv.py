@@ -2,8 +2,10 @@
 
 Replaces the reference CUDA op (ref: thirdparty/deform_conv/src/
 deform_conv_cuda.cpp:474-551, deform_conv_cuda_kernel.cu:505-805) with a
-gather-based XLA formulation that JAX autodiffs (offset/mask/weight/input
-grads for free), plus a Pallas kernel for the hot configuration.
+gather-free tent-matmul XLA formulation that JAX autodiffs (offset/mask/
+weight/input grads for free).  Two Pallas kernels and a batched-tap scan
+variant were built, measured slower at the flagship shape, and deleted —
+see STATUS.md "Deform kernel analysis" for the receipts.
 
 Semantics (validated against a dense numpy oracle in tests):
 - offsets (B, H, W, dg*2*K) with per-group channel layout

@@ -114,7 +114,7 @@ def test_loader_propagates_producer_errors(ds):
         def __getattr__(self, name):
             return getattr(self._inner, name)
 
-        def get_sample_host(self, idx, rng=None):
+        def get_sample_host(self, idx, rng=None, **kwargs):
             raise ValueError("corrupt jpeg (synthetic)")
 
     loader = Loader(Broken(ds), 2, shuffle=False, num_workers=2)

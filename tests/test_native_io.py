@@ -66,3 +66,24 @@ def test_generate_targets_matches_python(rng):
                                          np.array([72, 96]), j)
         np.testing.assert_allclose(target[i], t_ref, atol=1e-5)
         np.testing.assert_allclose(weight[i], w_ref[:, 0], atol=1e-6)
+
+
+def test_host_loader_native_path_matches_cv2(tmp_path, rng):
+    """The production Loader routes warp/target-gen through the native batch
+    kernels (native_host=True, the default).  Pixels must match the cv2 path
+    within bilinear fixed-point tolerance and targets exactly."""
+    from otpose_tpu.data.loader import Loader
+    from otpose_tpu.data.posetrack import PoseTrackDataset
+    from tests.helpers.synthetic_data import make_synthetic_posetrack
+    from tests.test_data_eval import _cfg_for
+
+    json_dir, img_dir, annot_dir = make_synthetic_posetrack(str(tmp_path))
+    cfg = _cfg_for(json_dir, img_dir, annot_dir)
+    ds = PoseTrackDataset(cfg, "validate")
+    (nb, _) = next(iter(Loader(ds, 4, shuffle=False, num_workers=2)))
+    (cb, _) = next(iter(Loader(ds, 4, shuffle=False, num_workers=2,
+                               native_host=False)))
+    assert np.abs(nb["inputs"] - cb["inputs"]).max() < 0.05
+    np.testing.assert_allclose(nb["target"], cb["target"], atol=1e-5)
+    np.testing.assert_allclose(nb["target_weight"], cb["target_weight"],
+                               atol=1e-6)

@@ -226,3 +226,14 @@ def test_device_pck_matches_host(setup):
                                   tgt.transpose(0, 3, 1, 2))
     assert float(avg_d) == pytest.approx(avg_h, abs=1e-6)
     assert int(cnt_d) == cnt_h
+
+
+@pytest.mark.slow
+def test_graft_entry_dryrun_flagship():
+    """VERDICT r1 task 7b: sharded compilation + one executed train step at
+    the SHIPPED spec (HRNet-W48, 96x72 heatmaps, 5 dilations, batch 8 over
+    8 virtual devices).  Slow: full-module XLA CPU compile dominates."""
+    import __graft_entry__ as ge
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ge.dryrun_multichip(8, flagship=True)

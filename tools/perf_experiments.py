@@ -1,0 +1,341 @@
+"""Variant micro-benchmarks for perf hypotheses (device traces are not
+capturable over the axon tunnel, so hypotheses are tested by timing modified
+forwards).  Results recorded in STATUS.md.
+
+Usage: python tools/perf_experiments.py --exp hrnet_bn --batch 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def fence(out):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(jax.device_get(leaf.ravel()[0])))
+
+
+def timeit(fn, args, iters=10):
+    fence(fn(*args))
+    fence(fn(*args))
+    t0 = time.perf_counter()
+    outs = None
+    for _ in range(iters):
+        outs = fn(*args)
+    fence(outs)
+    return (time.perf_counter() - t0) / iters
+
+
+def exp_hrnet_bn(batch, iters):
+    """Eval BN cost in HRNet: baseline vs BN-as-identity vs BN folded."""
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.models import core
+    from otpose_tpu.models.hrnet import hrnet_forward
+    from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
+    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    x = jnp.asarray(np.random.RandomState(0).randn(5 * batch, 384, 288, 3), dt)
+
+    def base(params, state, x):
+        ctx = Ctx(params, state, train=False, compute_dtype=dt)
+        return hrnet_forward(ctx.sub("rough_pose_estimation_net"), x, spec.hrnet)
+
+    print(f"hrnet base        {timeit(jax.jit(base), (params, state, x), iters)*1e3:8.2f} ms")
+
+    orig_bn = Ctx.batch_norm
+    try:
+        Ctx.batch_norm = lambda self, name, y: y
+        print(f"hrnet no-BN       {timeit(jax.jit(base), (params, state, x), iters)*1e3:8.2f} ms")
+    finally:
+        Ctx.batch_norm = orig_bn
+
+    # eval-mode affine in compute dtype (no f32 intermediate)
+    def affine_bn(self, name, y):
+        key = self._key(name)
+        w = self.param(f"{name}.weight")
+        b = self.param(f"{name}.bias")
+        mean = self.state[f"{key}.running_mean"]
+        var = self.state[f"{key}.running_var"]
+        inv = jax.lax.rsqrt(var + core.BN_EPS)
+        scale = (w * inv).astype(y.dtype)
+        shift = (b - mean * inv * w).astype(y.dtype)
+        return y * scale + shift
+
+    try:
+        Ctx.batch_norm = affine_bn
+        print(f"hrnet affine-BN   {timeit(jax.jit(base), (params, state, x), iters)*1e3:8.2f} ms")
+    finally:
+        Ctx.batch_norm = orig_bn
+
+
+def exp_mhca(batch, iters):
+    """masked_mhca layout: current transposed einsums vs direct (B,T,C) form."""
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models import core
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.models import blocks
+    from otpose_tpu.models.conv_transformer import (ConvTransformerSpec,
+                                                    conv_transformer_forward,
+                                                    init_conv_transformer)
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    spec = ConvTransformerSpec(n_in=136, n_embd=136, n_head=2, n_embd_ks=3,
+                               max_len=6912, arch=(0, 6, 2))
+    params, state = init_conv_transformer(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 96, 72, 136), dt)
+
+    def run(params, state, x):
+        ctx = Ctx(params, state, train=False, compute_dtype=dt)
+        return conv_transformer_forward(ctx, x, spec)[0]
+
+    print(f"temporal base     {timeit(jax.jit(run), (params, state, x), iters)*1e3:8.2f} ms")
+
+
+def exp_block_parts(batch, iters):
+    """Per-op timing inside one temporal transformer block at flagship shape
+    (B, T=6912, C=136)."""
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models import core
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    b, t, c = batch, 6912, 136
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, t, c), dt)
+    wdw = jnp.asarray(rng.randn(3, 1, c), dt)
+    w1 = jnp.asarray(rng.randn(c, c) * 0.05, dt)
+    wm1 = jnp.asarray(rng.randn(c, 4 * c) * 0.05, dt)
+    wm2 = jnp.asarray(rng.randn(4 * c, c) * 0.05, dt)
+    g = jnp.ones((c,), jnp.float32)
+    be = jnp.zeros((c,), jnp.float32)
+
+    def t_(name, fn, *args):
+        ms = timeit(jax.jit(fn), args, iters) * 1e3
+        print(f"{name:28s} {ms:8.3f} ms")
+        return ms
+
+    t_("depthwise_k3", lambda x: core.depthwise_conv1d_k3(x, wdw), x)
+    t_("layer_norm_c", lambda x: core.layer_norm_c(x, g, be), x)
+    t_("dense_1x1 CxC", lambda x: jnp.einsum("btc,cd->btd", x, w1,
+                                             preferred_element_type=dt), x)
+    t_("mlp (C->4C->C)", lambda x: jnp.einsum(
+        "bth,hd->btd", jax.nn.gelu(jnp.einsum("btc,ch->bth", x, wm1,
+                                              preferred_element_type=dt),
+                                   approximate=False), wm2,
+        preferred_element_type=dt), x)
+
+    nh, hs = 2, c // 2
+    q = jnp.asarray(rng.randn(b, nh, hs, t), dt)
+
+    def attn_cur(q):
+        att = jnp.einsum("bhct,bhdt->bhcd", q, q,
+                         preferred_element_type=dt).astype(jnp.float32)
+        att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
+        att = att / jnp.sum(att, axis=-1, keepdims=True)
+        out = jnp.einsum("bhcd,bhdt->bhct", att.astype(q.dtype), q,
+                         preferred_element_type=dt)
+        return out
+
+    t_("attention (channel-axis)", attn_cur, q)
+    t_("transpose btc->bct", lambda x: x.transpose(0, 2, 1) + 0.0, x)
+    t_("scramble out", lambda q: q.transpose(0, 1, 3, 2).reshape(b, c, t)
+       .transpose(0, 2, 1) + 0.0, q)
+    t_("maxpool1d k3 s2", lambda x: core.max_pool1d(x, 3, 2, 1), x)
+    t_("upsample_linear 2x",
+       lambda x: core.upsample_linear_1d(x[:, ::2], t), x)
+    t_("add+scale (residual)", lambda x: x + x * g.astype(x.dtype), x)
+
+
+def exp_ct_layout(batch, iters):
+    """(B, C, T) vs (B, T, C) token layout for the conv-transformer.
+
+    Hypothesis: with C=136 (temporal) / C=17 (flow) on the 128-lane axis,
+    every elementwise op wastes ~47% / ~87% of the VPU and each block pays
+    4 transposes of a ~30 MB tensor; putting T=6912 (=54*128) on lanes and
+    C on sublanes (136=17*8) should be strictly better for all non-matmul
+    ops and make the attention head-split reshape free.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models import core
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.models.conv_transformer import (ConvTransformerSpec,
+                                                    conv_transformer_forward,
+                                                    init_conv_transformer)
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    def ln_ct(x, w, bs, eps=core.LN_EPS):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        res = xf - mu
+        sigma = jnp.mean(jnp.square(res), axis=1, keepdims=True)
+        out = res / jnp.sqrt(sigma + eps)
+        return (out * w[:, None] + bs[:, None]).astype(x.dtype)
+
+    def dw_ct(x, w, stride=1):
+        t = x.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
+        w = w.astype(x.dtype)
+        w0, w1, w2 = w[0, 0][:, None], w[1, 0][:, None], w[2, 0][:, None]
+        if stride == 1:
+            return xp[..., 0:t] * w0 + xp[..., 1:t + 1] * w1 + xp[..., 2:t + 2] * w2
+        to = (t + 2 - 3) // stride + 1
+        end = (to - 1) * stride + 1
+        return (xp[..., 0:end:stride][..., :to] * w0
+                + xp[..., 1:end + 1:stride][..., :to] * w1
+                + xp[..., 2:end + 2:stride][..., :to] * w2)
+
+    def dense_ct(params, name, x):
+        w = params[f"{name}.weight"][0]
+        y = jnp.einsum("bct,cd->bdt", x.astype(dt), w.astype(dt),
+                       preferred_element_type=dt)
+        b = params.get(f"{name}.bias")
+        return y + b.astype(y.dtype)[:, None] if b is not None else y
+
+    def mhca_ct(params, pfx, x, n_head, stride=1):
+        b, c, t = x.shape
+        hs = c // n_head
+        scale = 1.0 / np.sqrt(hs)
+        p = lambda n: params[f"{pfx}.{n}"]  # noqa: E731
+        q = ln_ct(dw_ct(x, p("attn.query_conv.weight"), stride),
+                  p("attn.query_norm.weight"), p("attn.query_norm.bias"))
+        k = ln_ct(dw_ct(x, p("attn.key_conv.weight"), stride),
+                  p("attn.key_norm.weight"), p("attn.key_norm.bias"))
+        v = ln_ct(dw_ct(x, p("attn.value_conv.weight"), stride),
+                  p("attn.value_norm.weight"), p("attn.value_norm.bias"))
+        q = dense_ct(params, f"{pfx}.attn.query", q)
+        k = dense_ct(params, f"{pfx}.attn.key", k)
+        v = dense_ct(params, f"{pfx}.attn.value", v)
+        tq = q.shape[-1]
+        qh = q.reshape(b, n_head, hs, tq)
+        kh = k.reshape(b, n_head, hs, tq)
+        vh = v.reshape(b, n_head, hs, tq)
+        att = jnp.einsum("bhct,bhdt->bhcd", qh * scale, kh,
+                         preferred_element_type=dt).astype(jnp.float32)
+        att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
+        att = att / jnp.sum(att, axis=-1, keepdims=True)
+        out = jnp.einsum("bhcd,bhdt->bhct", att.astype(x.dtype), vh,
+                         preferred_element_type=dt)
+        out = out.transpose(0, 1, 3, 2).reshape(b, c, tq)  # ref scramble
+        return dense_ct(params, f"{pfx}.attn.proj", out)
+
+    def block_ct(params, pfx, x, n_head, ds_stride=1):
+        p = lambda n: params[f"{pfx}.{n}"]  # noqa: E731
+        normed = ln_ct(x, p("ln1.weight"), p("ln1.bias"))
+        out = mhca_ct(params, pfx, normed, n_head, ds_stride)
+        if ds_stride > 1:
+            skip = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, 1, ds_stride + 1),
+                window_strides=(1, 1, ds_stride),
+                padding=((0, 0), (0, 0),
+                         ((ds_stride + 1) // 2, (ds_stride + 1) // 2)))
+        else:
+            skip = x
+        if f"{pfx}.drop_path_attn.scale" in params:
+            out = out * p("drop_path_attn.scale").astype(out.dtype)[:, None]
+        out = skip + out
+        h = ln_ct(out, p("ln2.weight"), p("ln2.bias"))
+        h = dense_ct(params, f"{pfx}.mlp.0", h)
+        h = core.gelu(h)
+        h = dense_ct(params, f"{pfx}.mlp.3", h)
+        if f"{pfx}.drop_path_mlp.scale" in params:
+            h = h * p("drop_path_mlp.scale").astype(h.dtype)[:, None]
+        return out + h
+
+    def up_ct(x, out_t):
+        b, c, t = x.shape
+        assert out_t % t == 0
+        f = out_t // t
+        left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+        right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+        phases = []
+        for kk in range(f):
+            frac = (2 * kk + 1) / (2 * f) - 0.5
+            if frac < 0:
+                phases.append((-frac) * left + (1 + frac) * x)
+            elif frac == 0:
+                phases.append(x)
+            else:
+                phases.append((1 - frac) * x + frac * right)
+        out = jnp.stack(phases, axis=-1)                     # (B, C, T, f)
+        return out.reshape(b, c, t * f).astype(x.dtype)
+
+    def enc_ct(params, state, xmap, spec):
+        b, h, w, _ = xmap.shape
+        t = h * w
+        x = xmap.transpose(0, 3, 1, 2).reshape(b, spec.n_embd, t)
+        pe = state["pos_embd"].transpose(0, 2, 1)  # (1, C, T)
+        x = x + pe[..., :t].astype(x.dtype)
+        for i in range(spec.arch[1]):
+            x = block_ct(params, f"stem.{i}", x, spec.n_head)
+        feats = [x]
+        for i in range(spec.arch[2]):
+            x = block_ct(params, f"branch.{i}", x, spec.n_head,
+                         ds_stride=spec.scale_factor)
+            feats.append(up_ct(x, t))
+        return feats
+
+    for c, nh, arch, tag in ((136, 2, (0, 6, 2), "temporal"),
+                             (17, 1, (0, 6, 0), "flow")):
+        spec = ConvTransformerSpec(n_in=c, n_embd=c, n_head=nh, n_embd_ks=3,
+                                   max_len=6912, arch=arch, path_pdrop=0.1)
+        params, state = init_conv_transformer(jax.random.PRNGKey(0), spec)
+        rng = np.random.RandomState(0)
+        xmap = jnp.asarray(rng.randn(batch, 96, 72, c), dt)
+
+        def run_tc(params, state, xmap, spec=spec):
+            ctx = Ctx(params, state, train=False, compute_dtype=dt)
+            return conv_transformer_forward(ctx, xmap, spec)
+
+        def run_ct(params, state, xmap, spec=spec):
+            return enc_ct(params, state, xmap, spec)
+
+        o_tc = jax.jit(run_tc)(params, state, xmap)
+        o_ct = jax.jit(run_ct)(params, state, xmap)
+        diffs = [float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                       - b.transpose(0, 2, 1).astype(jnp.float32))))
+                 for a, b in zip(o_tc, o_ct)]
+        ms_tc = timeit(jax.jit(run_tc), (params, state, xmap), iters) * 1e3
+        # isolate the silent f32 promotion at the PE add (f32 pos_embd + bf16
+        # tokens -> f32 activations through the whole encoder)
+        state_bf = dict(state, pos_embd=state["pos_embd"].astype(dt))
+        ms_tcb = timeit(jax.jit(run_tc), (params, state_bf, xmap), iters) * 1e3
+        ms_ct = timeit(jax.jit(run_ct), (params, state, xmap), iters) * 1e3
+        print(f"{tag}: TC {ms_tc:7.2f} ms   TC/bf16pe {ms_tcb:7.2f} ms   "
+              f"CT {ms_ct:7.2f} ms   maxdiff {max(diffs):.2e}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", default="hrnet_bn")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    import jax
+    print(f"backend={jax.default_backend()} batch={args.batch}")
+    globals()[f"exp_{args.exp}"](args.batch, args.iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Capture a jax.profiler trace of one model stage and print top XLA ops.
+
+Parses the xplane.pb produced by jax.profiler.trace directly (no TensorBoard
+UI needed) and aggregates device-op durations by a fusion-name heuristic, so
+perf work can target the real buckets (VERDICT r1 task 3).
+
+Usage: python tools/trace_ops.py [--stage hrnet_5b|full_forward|temporal] [--batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import os.path as osp
+import sys
+import tempfile
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_xplane(path: str):
+    from tools.xplane import device_op_totals, iter_planes
+
+    agg = device_op_totals(path)
+    if not agg:
+        # fall back: dump plane/line names to debug what the runtime recorded
+        for name, lines, _meta in iter_planes(path):
+            print("plane:", name, "lines:", [ln for ln, _ in lines][:8])
+    return agg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="hrnet_5b")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.models.hrnet import hrnet_forward
+    from otpose_tpu.models.conv_transformer import conv_transformer_forward
+    from otpose_tpu.models.otpose import OTPoseSpec, init_otpose, otpose_forward
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
+    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+    b = args.batch
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    rng = np.random.RandomState(0)
+
+    if args.stage == "hrnet_5b":
+        x = jnp.asarray(rng.randn(5 * b, 384, 288, 3), dt)
+
+        def f(params, state, x):
+            ctx = Ctx(params, state, train=False, compute_dtype=dt)
+            return hrnet_forward(ctx.sub("rough_pose_estimation_net"), x, spec.hrnet)
+
+        fn, fargs = jax.jit(f), (params, state, x)
+    elif args.stage == "temporal":
+        x = jnp.asarray(rng.randn(b, spec.pe_h, spec.pe_w,
+                                  spec.temporal_encoding_dim), dt)
+
+        def f(params, state, x):
+            ctx = Ctx(params, state, train=False, compute_dtype=dt)
+            return conv_transformer_forward(ctx.sub("temporal_encoder1"), x,
+                                            spec.temporal_spec())[0]
+
+        fn, fargs = jax.jit(f), (params, state, x)
+    else:
+        x = jnp.asarray(rng.randn(b, 384, 288, 15), jnp.float32)
+        margin = jnp.ones((b, 4), jnp.float32)
+
+        def f(params, state, x, margin):
+            ctx = Ctx(params, state, train=False, compute_dtype=dt)
+            return otpose_forward(ctx, x, margin, spec)[0]
+
+        fn, fargs = jax.jit(f), (params, state, x, margin)
+
+    def fence(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(np.asarray(jax.device_get(leaf.ravel()[0])))
+
+    fence(fn(*fargs))
+    fence(fn(*fargs))
+
+    tmp = tempfile.mkdtemp(prefix="trace_")
+    with jax.profiler.trace(tmp):
+        out = None
+        for _ in range(args.iters):
+            out = fn(*fargs)
+        fence(out)
+
+    paths = glob.glob(osp.join(tmp, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        print("NO XPLANE CAPTURED under", tmp)
+        return
+    agg = parse_xplane(paths[0])
+    total = sum(agg.values())
+    print(f"stage={args.stage} batch={b} iters={args.iters} "
+          f"device total {total:.2f} ms ({total / args.iters:.2f} ms/iter)")
+    for name, ms in agg.most_common(args.top):
+        print(f"{ms / args.iters:9.3f} ms  {100 * ms / total:5.1f}%  {name[:140]}")
+
+
+if __name__ == "__main__":
+    main()
