@@ -67,7 +67,8 @@ def compute_losses(ctx: Ctx, batch: Dict[str, jnp.ndarray], spec: OTPoseSpec,
 
 def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
                     topk: int = 8, use_target_weight: bool = True,
-                    donate: bool = True, remat: bool = False) -> Callable:
+                    donate: bool = True, remat: bool = False,
+                    compiler_options: dict | None = None) -> Callable:
     """Build the jit'd train step: (TrainState, batch, rng) -> (TrainState, metrics).
 
     ``remat=True`` recomputes the whole forward during the backward pass
@@ -96,7 +97,8 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
                           ts.step + 1), metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    return jax.jit(step, donate_argnums=donate_argnums,
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32) -> Callable:

@@ -237,6 +237,119 @@ def local_masked_mhca(ctx: Ctx, x: jnp.ndarray, n_head: int, window_size: int,
     return ctx.dropout(out, proj_pdrop)
 
 
+# ---------------------------------------------------------------------------
+# (B, C, T) layout variants
+#
+# The flagship token geometry is T=6912 (=54*128 lanes, perfectly tiled) and
+# C=136 (=17*8 sublanes); the (B, T, C) layout instead pads C to 2 lane tiles
+# (53% utilization) for every elementwise op and pays 4 transposes of a
+# ~30 MB tensor per attention block.  These variants keep channels on
+# sublanes end-to-end: the head split (B, C, T) -> (B, nh, hs, T) is a free
+# reshape and the reference's scrambled reassembly needs one transpose
+# instead of three.  Same params, same math, measured ~5% faster per encoder
+# (see STATUS.md round-2 perf log).
+# ---------------------------------------------------------------------------
+
+def _dense_1x1_ct(ctx: Ctx, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv1d on (B, C, T): dense over the channel (sublane) axis."""
+    w = ctx.param(f"{name}.weight")[0]
+    y = jnp.einsum("bct,cd->bdt", x.astype(ctx.compute_dtype),
+                   w.astype(ctx.compute_dtype),
+                   preferred_element_type=core._preferred(ctx.compute_dtype),
+                   precision=core._mxu_precision(ctx.compute_dtype)).astype(x.dtype)
+    b = ctx.params.get(ctx._key(f"{name}.bias"))
+    return y + b.astype(y.dtype)[:, None] if b is not None else y
+
+
+def masked_mhca_ct(ctx: Ctx, x: jnp.ndarray, n_head: int, stride: int = 1,
+                   attn_pdrop: float = 0.0, proj_pdrop: float = 0.0) -> jnp.ndarray:
+    """``masked_mhca`` on (B, C, T) (ref: blocks.py:319-453)."""
+    b, c, t = x.shape
+    hs = c // n_head
+    scale = 1.0 / np.sqrt(hs)
+
+    q = ctx.layer_norm_ct("query_norm",
+                          core.depthwise_conv1d_k3_ct(
+                              x, ctx.param("query_conv.weight"), stride=stride))
+    k = ctx.layer_norm_ct("key_norm",
+                          core.depthwise_conv1d_k3_ct(
+                              x, ctx.param("key_conv.weight"), stride=stride))
+    v = ctx.layer_norm_ct("value_norm",
+                          core.depthwise_conv1d_k3_ct(
+                              x, ctx.param("value_conv.weight"), stride=stride))
+    q = _dense_1x1_ct(ctx, "query", q)
+    k = _dense_1x1_ct(ctx, "key", k)
+    v = _dense_1x1_ct(ctx, "value", v)
+
+    tq = q.shape[-1]
+    qh = q.reshape(b, n_head, hs, tq)   # free: C-major already
+    kh = k.reshape(b, n_head, hs, tq)
+    vh = v.reshape(b, n_head, hs, tq)
+
+    att = jnp.einsum("bhct,bhdt->bhcd", qh * scale, kh,
+                     preferred_element_type=core._preferred(ctx.compute_dtype),
+                     precision=core._mxu_precision(ctx.compute_dtype)).astype(jnp.float32)
+    att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
+    att = att / jnp.sum(att, axis=-1, keepdims=True)
+    att = ctx.dropout(att.astype(x.dtype), attn_pdrop)
+    out = jnp.einsum("bhcd,bhdt->bhct", att.astype(x.dtype), vh,
+                     preferred_element_type=core._preferred(ctx.compute_dtype),
+                     precision=core._mxu_precision(ctx.compute_dtype)).astype(x.dtype)
+
+    # the reference's scrambled re-assembly (ref: blocks.py:447): one
+    # (hs, T') transpose, directly into (B, C, T')
+    out = out.transpose(0, 1, 3, 2).reshape(b, c, tq)
+    out = _dense_1x1_ct(ctx, "proj", out)
+    return ctx.dropout(out, proj_pdrop)
+
+
+def affine_drop_path_ct(ctx: Ctx, name: str, x: jnp.ndarray,
+                        drop_prob: float) -> jnp.ndarray:
+    """``affine_drop_path`` with the (C,) scale broadcast over (B, C, T)."""
+    if not ctx.has(f"{name}.scale"):
+        return x
+    scale = ctx.param(f"{name}.scale").astype(x.dtype)[:, None]
+    return ctx.drop_path(x * scale, drop_prob)
+
+
+def transformer_block_ct(ctx: Ctx, x: jnp.ndarray, n_head: int, *,
+                         ds_stride: int = 1, attn_pdrop: float = 0.0,
+                         proj_pdrop: float = 0.0, path_pdrop: float = 0.0,
+                         mha_win_size: int = -1,
+                         use_rel_pe: bool = False) -> jnp.ndarray:
+    """``transformer_block`` on (B, C, T) -> (B, C, T/ds_stride).
+
+    Local-window levels fall back to the (B, T, C) implementation around a
+    transpose pair (no flagship spec uses local windows; the fallback keeps
+    the two implementations from diverging).
+    """
+    normed = ctx.layer_norm_ct("ln1", x)
+    if mha_win_size > 1:
+        out = local_masked_mhca(ctx.sub("attn"), normed.transpose(0, 2, 1),
+                                n_head, window_size=mha_win_size,
+                                stride=ds_stride, attn_pdrop=attn_pdrop,
+                                proj_pdrop=proj_pdrop,
+                                use_rel_pe=use_rel_pe).transpose(0, 2, 1)
+    else:
+        out = masked_mhca_ct(ctx.sub("attn"), normed, n_head,
+                             stride=ds_stride, attn_pdrop=attn_pdrop,
+                             proj_pdrop=proj_pdrop)
+    if ds_stride > 1:
+        skip = core.max_pool1d_ct(x, kernel=ds_stride + 1, stride=ds_stride,
+                                  padding=(ds_stride + 1) // 2)
+    else:
+        skip = x
+    out = skip + affine_drop_path_ct(ctx, "drop_path_attn", out, path_pdrop)
+
+    h = ctx.layer_norm_ct("ln2", out)
+    h = _dense_1x1_ct(ctx, "mlp.0", h)
+    h = ctx.dropout(gelu(h), proj_pdrop)
+    h = _dense_1x1_ct(ctx, "mlp.3", h)
+    h = ctx.dropout(h, proj_pdrop)
+    out = out + affine_drop_path_ct(ctx, "drop_path_mlp", h, path_pdrop)
+    return out
+
+
 def init_local_transformer_block(params, kg: core.KeyGen, prefix: str, n_embd: int,
                                  n_head: int, window_size: int,
                                  path_pdrop: float = 0.0, use_rel_pe: bool = False):

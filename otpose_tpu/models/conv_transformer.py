@@ -44,10 +44,18 @@ class ConvTransformerSpec:
 
 
 def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
-                             spec: ConvTransformerSpec) -> List[jnp.ndarray]:
-    """x: (B, H, W, C_in) feature map -> list of (B, T, C) token maps
+                             spec: ConvTransformerSpec,
+                             out_layout: str = "tc") -> List[jnp.ndarray]:
+    """x: (B, H, W, C_in) feature map -> list of token maps
     (1 stem output + arch[2] upsampled branch outputs)
-    (ref: ConvVideoTransformer.py:123-185)."""
+    (ref: ConvVideoTransformer.py:123-185).
+
+    ``out_layout``: "tc" returns (B, T, C) tensors (the reference's
+    ``permute``d view); "ct" returns (B, C, T).  The blocks run in the
+    (B, C, T) layout internally either way — T=H*W lands on the 128-lane
+    axis fully tiled while C=136/17 would waste ~half of it — so "ct"
+    (used by ``otpose_forward``) also skips the exit transposes.
+    """
     b, h, w, _ = x.shape
     t = h * w
 
@@ -60,7 +68,7 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
             tokens = ctx.layer_norm_c(f"embd_norm.{i}", tokens)
         x = core.relu(tokens).reshape(b, h, w, -1)
 
-    tokens = x.reshape(b, t, spec.n_embd)
+    tokens = x.transpose(0, 3, 1, 2).reshape(b, spec.n_embd, t)  # (B, C, T)
 
     if spec.use_abs_pe:
         pe = ctx.state[ctx._key("pos_embd")]  # (1, max_len, C), f32
@@ -72,7 +80,7 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
         # silently promotes bf16 tokens to f32 and the whole encoder (and
         # every consumer downstream) runs f32 elementwise ops — 2x the HBM
         # traffic of the intended bf16 activation path
-        tokens = (tokens + pe[:, :t]).astype(x.dtype)
+        tokens = (tokens + pe[:, :t].transpose(0, 2, 1)).astype(x.dtype)
 
     def _win(level):
         if not spec.mha_win_size:
@@ -80,7 +88,7 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
         return spec.mha_win_size[min(level, len(spec.mha_win_size) - 1)]
 
     for i in range(spec.arch[1]):
-        tokens = blocks.transformer_block(
+        tokens = blocks.transformer_block_ct(
             ctx.sub(f"stem.{i}"), tokens, spec.n_head,
             attn_pdrop=spec.attn_pdrop, proj_pdrop=spec.proj_pdrop,
             path_pdrop=spec.path_pdrop, mha_win_size=_win(0),
@@ -88,14 +96,16 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
 
     out_feats = [tokens]
     for i in range(spec.arch[2]):
-        tokens = blocks.transformer_block(
+        tokens = blocks.transformer_block_ct(
             ctx.sub(f"branch.{i}"), tokens, spec.n_head,
             ds_stride=spec.scale_factor,
             attn_pdrop=spec.attn_pdrop, proj_pdrop=spec.proj_pdrop,
             path_pdrop=spec.path_pdrop, mha_win_size=_win(1 + i),
             use_rel_pe=spec.use_rel_pe)
-        out_feats.append(core.upsample_linear_1d(tokens, t))
-    return out_feats
+        out_feats.append(core.upsample_linear_1d_ct(tokens, t))
+    if out_layout == "ct":
+        return out_feats
+    return [f.transpose(0, 2, 1) for f in out_feats]
 
 
 def init_conv_transformer(key, spec: ConvTransformerSpec):

@@ -132,6 +132,10 @@ class Ctx:
         """Channel LayerNorm over the last axis of (B, T, C) (ref: blocks.py:67-110)."""
         return layer_norm_c(x, self.param(f"{name}.weight"), self.param(f"{name}.bias"))
 
+    def layer_norm_ct(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        """Channel LayerNorm over axis 1 of (B, C, T)."""
+        return layer_norm_ct(x, self.param(f"{name}.weight"), self.param(f"{name}.bias"))
+
     def dropout(self, x: jnp.ndarray, rate: float) -> jnp.ndarray:
         if not self.train or rate <= 0.0:
             return x
@@ -248,23 +252,31 @@ def batch_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     (matches nn.BatchNorm2d(momentum=0.1)).  ``sync_axis`` enables
     cross-replica statistics via psum (sync-BN over the data mesh axis).
     """
+    if not train:
+        # eval: running stats are constants, so fold them into a per-channel
+        # affine computed in f32 and applied in the activation dtype — the
+        # f32-upcast normalize costs a full extra HBM pass per BN (measured
+        # 2.5 ms across HRNet's ~270 BNs at batch 16; the affine form
+        # recovers 2.25 ms and XLA fuses it into the conv epilogue)
+        inv = jax.lax.rsqrt(running_var.astype(jnp.float32) + eps)
+        scale = weight.astype(jnp.float32) * inv
+        shift = bias.astype(jnp.float32) - running_mean.astype(jnp.float32) * scale
+        y = x * scale.astype(x.dtype) + shift.astype(x.dtype)
+        return y, running_mean, running_var
+
     reduce_axes = tuple(range(x.ndim - 1))
     xf = x.astype(jnp.float32)  # statistics in f32 even for bf16 activations
-    if train:
-        n = np.prod([x.shape[a] for a in reduce_axes])
-        mean = jnp.mean(xf, axis=reduce_axes)
-        mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
-        if sync_axis is not None:
-            mean = jax.lax.pmean(mean, sync_axis)
-            mean_sq = jax.lax.pmean(mean_sq, sync_axis)
-            n = n * jax.lax.psum(1, sync_axis)
-        var = mean_sq - jnp.square(mean)
-        unbiased = var * (n / max(n - 1, 1))
-        new_mean = (1 - momentum) * running_mean + momentum * mean
-        new_var = (1 - momentum) * running_var + momentum * unbiased
-    else:
-        mean, var = running_mean, running_var
-        new_mean, new_var = running_mean, running_var
+    n = np.prod([x.shape[a] for a in reduce_axes])
+    mean = jnp.mean(xf, axis=reduce_axes)
+    mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+    if sync_axis is not None:
+        mean = jax.lax.pmean(mean, sync_axis)
+        mean_sq = jax.lax.pmean(mean_sq, sync_axis)
+        n = n * jax.lax.psum(1, sync_axis)
+    var = mean_sq - jnp.square(mean)
+    unbiased = var * (n / max(n - 1, 1))
+    new_mean = (1 - momentum) * running_mean + momentum * mean
+    new_var = (1 - momentum) * running_var + momentum * unbiased
     inv = jax.lax.rsqrt(var + eps)
     y = (xf - mean) * (inv * weight) + bias
     return y.astype(x.dtype), new_mean, new_var
@@ -309,6 +321,79 @@ def layer_norm_c(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     sigma = jnp.mean(jnp.square(res), axis=-1, keepdims=True)
     out = res / jnp.sqrt(sigma + eps)
     return (out * weight + bias).astype(x.dtype)
+
+
+def layer_norm_ct(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                  eps: float = LN_EPS) -> jnp.ndarray:
+    """``layer_norm_c`` on (B, C, T): normalized over the channel axis 1."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    res = xf - mu
+    sigma = jnp.mean(jnp.square(res), axis=1, keepdims=True)
+    out = res / jnp.sqrt(sigma + eps)
+    return (out * weight[:, None] + bias[:, None]).astype(x.dtype)
+
+
+def depthwise_conv1d_k3_ct(x: jnp.ndarray, w: jnp.ndarray,
+                           b: Optional[jnp.ndarray] = None, *,
+                           stride: int = 1) -> jnp.ndarray:
+    """``depthwise_conv1d_k3`` on (B, C, T) with (3, 1, C) kernel: shifted
+    multiply-adds along the T (lane) axis."""
+    t = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
+    w = w.astype(x.dtype)
+    w0, w1, w2 = w[0, 0][:, None], w[1, 0][:, None], w[2, 0][:, None]
+    if stride == 1:
+        y = xp[..., 0:t] * w0 + xp[..., 1:t + 1] * w1 + xp[..., 2:t + 2] * w2
+    else:
+        to = (t + 2 - 3) // stride + 1
+        end = (to - 1) * stride + 1
+        y = (xp[..., 0:end:stride][..., :to] * w0
+             + xp[..., 1:end + 1:stride][..., :to] * w1
+             + xp[..., 2:end + 2:stride][..., :to] * w2)
+    if b is not None:
+        y = y + b.astype(y.dtype)[:, None]
+    return y
+
+
+def max_pool1d_ct(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
+    """MaxPool over the T (last) axis of (B, C, T) with -inf padding."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, kernel),
+        window_strides=(1, 1, stride),
+        padding=((0, 0), (0, 0), (padding, padding)),
+    )
+
+
+def upsample_linear_1d_ct(x: jnp.ndarray, out_t: int) -> jnp.ndarray:
+    """``upsample_linear_1d`` on (B, C, T): shifts/blends along the last axis."""
+    b, c, t = x.shape
+    if out_t % t == 0 and out_t != t:
+        f = out_t // t
+        left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+        right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+        phases = []
+        for k in range(f):
+            frac = (2 * k + 1) / (2 * f) - 0.5
+            if frac < 0:
+                phases.append((-frac) * left + (1 + frac) * x)
+            elif frac == 0:
+                phases.append(x)
+            else:
+                phases.append((1 - frac) * x + frac * right)
+        out = jnp.stack(phases, axis=-1)                     # (B, C, T, f)
+        return out.reshape(b, c, t * f).astype(x.dtype)
+    scale = t / out_t
+    dst = jnp.arange(out_t, dtype=jnp.float32)
+    src = (dst + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, t - 1)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, t - 1)
+    w1 = (src - i0.astype(jnp.float32)).astype(x.dtype)[None, None, :]
+    x0 = jnp.take(x, i0, axis=-1)
+    x1 = jnp.take(x, i1, axis=-1)
+    return x0 * (1 - w1) + x1 * w1
 
 
 def relu(x: jnp.ndarray) -> jnp.ndarray:

@@ -95,15 +95,15 @@ class OTPoseSpec:
 
 
 def _tokens_to_map(feats, b, pe_h, pe_w):
-    """Stack ConvTransformer outputs [(B, T, C)] -> NHWC map (B, H, W, n*C).
+    """Stack ConvTransformer outputs [(B, C, T)] -> NHWC map (B, H, W, n*C).
 
     The reference stacks on a new dim-1 then views to (B, n*C, H, W)
-    (ref: OTPose.py:332-335,362-369), i.e. channel order is scale-major.
+    (ref: OTPose.py:332-335,362-369), i.e. channel order is scale-major —
+    exactly the (B, C, T) layout the encoder already produces.
     """
     n = len(feats)
-    c = feats[0].shape[-1]
-    x = jnp.stack(feats, axis=1)                  # (B, n, T, C)
-    x = x.transpose(0, 1, 3, 2)                   # (B, n, C, T)
+    c = feats[0].shape[1]
+    x = jnp.stack(feats, axis=1)                  # (B, n, C, T)
     x = x.reshape(b, n * c, pe_h, pe_w)           # row-major (H, W)
     return x.transpose(0, 2, 3, 1)                # NHWC
 
@@ -146,7 +146,7 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
     intersection = total_b * squeezed
 
     flow_feats = conv_transformer_forward(ctx.sub("flow_encoder"), total_b,
-                                          spec.flow_spec())
+                                          spec.flow_spec(), out_layout="ct")
     context_encoding = _tokens_to_map(flow_feats, b, spec.pe_h, spec.pe_w)
 
     # margin penalty (ref: OTPose.py:339-342)
@@ -182,8 +182,10 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
     # ~7% with in-step stacking, ~7% even with params pre-stacked outside the
     # step.  XLA lowers the s=2 batched matmuls worse than two plain ones.
     # See STATUS.md perf log; keep them sequential.)
-    x1_feats = conv_transformer_forward(ctx.sub("temporal_encoder1"), x1, tspec)
-    x2_feats = conv_transformer_forward(ctx.sub("temporal_encoder2"), x2, tspec)
+    x1_feats = conv_transformer_forward(ctx.sub("temporal_encoder1"), x1, tspec,
+                                        out_layout="ct")
+    x2_feats = conv_transformer_forward(ctx.sub("temporal_encoder2"), x2, tspec,
+                                        out_layout="ct")
     x1m = _tokens_to_map(x1_feats, b, spec.pe_h, spec.pe_w)
     x2m = _tokens_to_map(x2_feats, b, spec.pe_h, spec.pe_w)
 

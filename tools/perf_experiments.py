@@ -164,6 +164,44 @@ def exp_block_parts(batch, iters):
     t_("add+scale (residual)", lambda x: x + x * g.astype(x.dtype), x)
 
 
+def exp_wpad(batch, iters):
+    """Is the HRNet conv time governed by W (lane) tiling?  Time identical
+    3x3 convs at the real branch widths vs zero-padded to the 128-lane tile.
+    If time is ~flat in W, the conv is lane-padded internally and a
+    keep-at-128 layout (with BN-folded edge masking) would win ~1.8x on br0.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models import core
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    rng = np.random.RandomState(0)
+    b5 = 5 * batch
+
+    cases = [
+        ("br0 48ch 96x72 ", (b5, 96, 72, 48), (b5, 96, 128, 48)),
+        ("br1 96ch 48x36 ", (b5, 48, 36, 96), (b5, 48, 128, 96)),
+        ("br2 192ch 24x18", (b5, 24, 18, 192), (b5, 24, 128, 192)),
+        ("br3 384ch 12x9 ", (b5, 12, 9, 384), (b5, 12, 128, 384)),
+    ]
+    for name, shp, shp_pad in cases:
+        c = shp[-1]
+        w = jnp.asarray(rng.randn(3, 3, c, c) * 0.05, dt)
+
+        def chain(x, w=w):
+            for _ in range(8):
+                x = core.conv2d(x, w, padding=1, compute_dtype=dt)
+            return x
+
+        for tag, s in (("", shp), ("pad128", shp_pad)):
+            x = jnp.asarray(rng.randn(*s), dt)
+            ms = timeit(jax.jit(chain), (x,), iters) * 1e3
+            gf = 8 * 2 * np.prod(s) * c * 9 / 1e9
+            print(f"{name} {tag:7s} {str(s):>22s} {ms:7.2f} ms "
+                  f"{gf / ms:6.1f} TF/s")
+
+
 def exp_ct_layout(batch, iters):
     """(B, C, T) vs (B, T, C) token layout for the conv-transformer.
 
