@@ -41,6 +41,7 @@ class Eval(RunBase):
         self.flip = sub.FLIP_VAL if phase == "validate" else sub.FLIP_TEST
 
         self.mesh = make_mesh(cfg)
+        self.seq_axis = "seq" if "seq" in cfg.TPU.MESH_AXES else None
         self._mesh_ctx = jax.sharding.set_mesh(self.mesh)
         self._mesh_ctx.__enter__()
         self.shard_fn = make_eval_shard_fn(self.mesh)
@@ -52,12 +53,15 @@ class Eval(RunBase):
         self.use_decoded = not (cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX)
         if self.use_decoded:
             self.eval_fn = make_decoded_eval_step(
-                self.spec, compute_dtype=compute_dtype, flip=self.flip)
+                self.spec, compute_dtype=compute_dtype, flip=self.flip,
+                seq_axis=self.seq_axis)
         elif self.flip:
             self.eval_fn = make_flip_eval_step(self.spec,
-                                               compute_dtype=compute_dtype)
+                                               compute_dtype=compute_dtype,
+                                               seq_axis=self.seq_axis)
         else:
-            self.eval_fn = make_eval_step(self.spec, compute_dtype=compute_dtype)
+            self.eval_fn = make_eval_step(self.spec, compute_dtype=compute_dtype,
+                                          seq_axis=self.seq_axis)
 
     def list_model_files(self):
         """ref: eval.py:64-83."""

@@ -56,6 +56,9 @@ class Train(RunBase):
         self.optimizer = make_optimizer(params, cfg, self.schedule)
 
         self.mesh = make_mesh(cfg)
+        # optional sequence parallelism: a 'seq' mesh axis shards the
+        # conv-transformer token dim (models/conv_transformer.py::_seq_shard)
+        self.seq_axis = "seq" if "seq" in cfg.TPU.MESH_AXES else None
         self._mesh_ctx = jax.sharding.set_mesh(self.mesh)
         self._mesh_ctx.__enter__()
         params = replicate(self.mesh, params)
@@ -69,11 +72,13 @@ class Train(RunBase):
                                        topk=cfg.LOSS.TOPK,
                                        use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
                                        donate=cfg.TPU.DONATE_STATE,
-                                       remat=cfg.TPU.REMAT)
+                                       remat=cfg.TPU.REMAT,
+                                       seq_axis=self.seq_axis)
         # per-epoch validation decodes keypoints on device (fetches 17 coords
         # per box, not full heatmaps) — equivalence-tested vs evaluate_epoch
         self.eval_fn = make_decoded_eval_step(self.spec,
-                                              compute_dtype=compute_dtype)
+                                              compute_dtype=compute_dtype,
+                                              seq_axis=self.seq_axis)
 
         self.tb_writer = None
         try:

@@ -68,7 +68,8 @@ def compute_losses(ctx: Ctx, batch: Dict[str, jnp.ndarray], spec: OTPoseSpec,
 def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
                     topk: int = 8, use_target_weight: bool = True,
                     donate: bool = True, remat: bool = False,
-                    compiler_options: dict | None = None) -> Callable:
+                    compiler_options: dict | None = None,
+                    seq_axis: str | None = None) -> Callable:
     """Build the jit'd train step: (TrainState, batch, rng) -> (TrainState, metrics).
 
     ``remat=True`` recomputes the whole forward during the backward pass
@@ -78,7 +79,7 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
 
     def loss_fn(params, model_state, batch, rng):
         ctx = Ctx(params, model_state, train=True, rng=rng,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype, seq_axis=seq_axis)
         total, (metrics, _) = compute_losses(ctx, batch, spec, topk,
                                              use_target_weight)
         return total, (metrics, ctx.finalize_state())
@@ -101,11 +102,13 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
                    compiler_options=compiler_options)
 
 
-def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32) -> Callable:
+def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
+                   seq_axis: str | None = None) -> Callable:
     """jit'd eval forward: (params, model_state, batch) -> (pred_heatmaps, teacher)."""
 
     def step(params, model_state, batch):
-        ctx = Ctx(params, model_state, train=False, compute_dtype=compute_dtype)
+        ctx = Ctx(params, model_state, train=False, compute_dtype=compute_dtype,
+                  seq_axis=seq_axis)
         out = otpose_forward(ctx, batch["inputs"], batch["margin"], spec)
         bsz = batch["inputs"].shape[0]
         return out[0], out[1][:bsz]
@@ -114,7 +117,8 @@ def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32) -> Callable:
 
 
 def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
-                           flip: bool = False) -> Callable:
+                           flip: bool = False,
+                           seq_axis: str | None = None) -> Callable:
     """jit'd eval forward + on-device decode.
 
     Returns (refined_coords (B, J, 2), maxvals (B, J, 1),
@@ -128,9 +132,11 @@ def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
     if flip:
         from otpose_tpu.engine.runner import make_flip_eval_step
 
-        fwd = make_flip_eval_step(spec, compute_dtype=compute_dtype)
+        fwd = make_flip_eval_step(spec, compute_dtype=compute_dtype,
+                                  seq_axis=seq_axis)
     else:
-        fwd = make_eval_step(spec, compute_dtype=compute_dtype)
+        fwd = make_eval_step(spec, compute_dtype=compute_dtype,
+                             seq_axis=seq_axis)
 
     def step(params, model_state, batch):
         heat, _teacher = fwd(params, model_state, batch)

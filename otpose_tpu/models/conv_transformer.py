@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from otpose_tpu.models import blocks, core
@@ -70,6 +71,20 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
 
     tokens = x.transpose(0, 3, 1, 2).reshape(b, spec.n_embd, t)  # (B, C, T)
 
+    def _seq_shard(z, spec_t=None):
+        """Sequence parallelism (no reference counterpart; SURVEY §5): shard
+        the token axis over ctx.seq_axis.  XLA SPMD inserts the halo
+        exchanges for the depthwise convs / pools and the psums for the
+        channel-attention T-contraction; the exit constraint gathers T back
+        so the rest of the model stays purely data-parallel."""
+        if ctx.seq_axis is None:
+            return z
+        from jax.sharding import PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            z, P("data", None, spec_t))
+
+    tokens = _seq_shard(tokens, ctx.seq_axis)
+
     if spec.use_abs_pe:
         pe = ctx.state[ctx._key("pos_embd")]  # (1, max_len, C), f32
         if ctx.train:
@@ -103,6 +118,7 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
             path_pdrop=spec.path_pdrop, mha_win_size=_win(1 + i),
             use_rel_pe=spec.use_rel_pe)
         out_feats.append(core.upsample_linear_1d_ct(tokens, t))
+    out_feats = [_seq_shard(f, None) for f in out_feats]  # gather T back
     if out_layout == "ct":
         return out_feats
     return [f.transpose(0, 2, 1) for f in out_feats]

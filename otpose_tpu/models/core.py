@@ -35,12 +35,17 @@ class Ctx:
                  rng: Optional[jax.Array] = None,
                  compute_dtype: jnp.dtype = jnp.float32,
                  sync_axis: Optional[str] = None,
+                 seq_axis: Optional[str] = None,
                  prefix: str = "", root: Optional["Ctx"] = None):
         self.params = params
         self.state = state
         self.train = train
         self.compute_dtype = compute_dtype
         self.sync_axis = sync_axis
+        # mesh axis name to shard the conv-transformer token dimension over
+        # (sequence parallelism for the T=6912 grids; None = data-parallel
+        # only).  Requires an active jax.sharding.set_mesh context.
+        self.seq_axis = seq_axis
         self._prefix = prefix
         if root is None:
             self.new_state: Params = {}
@@ -58,6 +63,7 @@ class Ctx:
         child.train = self.train
         child.compute_dtype = self.compute_dtype
         child.sync_axis = self.sync_axis
+        child.seq_axis = self.seq_axis
         child._prefix = self._key(name) + "."
         child._root = self._root
         return child
@@ -72,6 +78,7 @@ class Ctx:
         child.train = False
         child.compute_dtype = self.compute_dtype
         child.sync_axis = self.sync_axis
+        child.seq_axis = self.seq_axis
         child._prefix = self._prefix
         child._root = self._root
         return child
@@ -369,6 +376,8 @@ def max_pool1d_ct(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp
 def upsample_linear_1d_ct(x: jnp.ndarray, out_t: int) -> jnp.ndarray:
     """``upsample_linear_1d`` on (B, C, T): shifts/blends along the last axis."""
     b, c, t = x.shape
+    if out_t == t:
+        return x  # identity resample: skip the gather
     if out_t % t == 0 and out_t != t:
         f = out_t // t
         left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
@@ -430,6 +439,8 @@ def upsample_linear_1d(x: jnp.ndarray, out_t: int) -> jnp.ndarray:
     VPU shifts, no TPU gathers.  Non-integer ratios fall back to a gather.
     """
     b, t, c = x.shape
+    if out_t == t:
+        return x  # identity resample (src grid == dst grid): skip the gather
     if out_t % t == 0 and out_t != t:
         f = out_t // t
         left = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)    # x[i-1], edge clamp

@@ -237,3 +237,36 @@ def test_graft_entry_dryrun_flagship():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     ge.dryrun_multichip(8, flagship=True)
+
+
+def test_seq_parallel_matches_single_device(setup):
+    """dp x sp: batch on 'data' AND tokens on 'seq' (the conv-transformer
+    T axis, models/conv_transformer.py::_seq_shard) must reproduce the
+    single-device step — XLA SPMD inserts the halo exchanges / psums."""
+    cfg, spec, params, model_state = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    schedule = make_schedule(cfg, num_iters_per_epoch=5)
+    optimizer = make_optimizer(params, cfg, schedule)
+    batch = _make_batch(np.random.RandomState(7), 4)
+    rng = jax.random.PRNGKey(3)
+
+    step_1 = make_train_step(spec, optimizer, donate=False)
+    ts1 = init_train_state(params, model_state, optimizer)
+    ts1, m1 = step_1(ts1, jax.tree_util.tree_map(jnp.asarray, batch), rng)
+
+    cfg2 = cfg.clone()
+    cfg2.TPU.MESH_AXES = ["data", "seq"]
+    cfg2.TPU.MESH_SHAPE = [2, 4]
+    mesh = make_mesh(cfg2)
+    step_sp = make_train_step(spec, optimizer, donate=False, seq_axis="seq")
+    with jax.sharding.set_mesh(mesh):
+        ts2 = init_train_state(replicate(mesh, params),
+                               replicate(mesh, model_state), optimizer)
+        ts2, m2 = step_sp(ts2, shard_batch(mesh, batch), rng)
+
+    assert float(m1["final_loss"]) == pytest.approx(float(m2["final_loss"]),
+                                                    rel=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(ts1.params["final_layer1.weight"]),
+        np.asarray(ts2.params["final_layer1.weight"]), atol=5e-6)

@@ -202,6 +202,60 @@ def exp_wpad(batch, iters):
                   f"{gf / ms:6.1f} TF/s")
 
 
+def exp_s2d(batch, iters):
+    """HRNet stem conv1 (3->64, k3 s2 p1, on 384x288x3): MXU-starved (K=27).
+    Space-to-depth rewrite: 2x2-block the input to (192,144,12) and apply an
+    algebraically identical (2,2,12,64) stride-1 conv with top/left padding 1
+    -> K=48 contraction, same math.  Verify exactness + time both."""
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models import core
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    rng = np.random.RandomState(0)
+    b5 = 5 * batch
+    h, w, cin, cout = 384, 288, 3, 64
+    x = jnp.asarray(rng.randn(b5, h, w, cin), dt)
+    wk = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, dt)
+
+    def direct(x):
+        return core.conv2d(x, wk, stride=2, padding=1, compute_dtype=dt)
+
+    # kernel transform: out(y,x) = sum_{dy,dx} w[dy,dx] in[2y+dy-1, 2x+dx-1];
+    # with I2[a,b,(p,q,c)] = in[2a+p, 2b+q], tap (dy) maps to block a=y-1+A,
+    # sub-row p: dy=0 -> (A=0,p=1), dy=1 -> (A=1,p=0), dy=2 -> (A=1,p=1)
+    amap = {0: (0, 1), 1: (1, 0), 2: (1, 1)}
+    w2 = np.zeros((2, 2, 4 * cin, cout), np.float32)
+    wk_f = np.asarray(wk, np.float32)
+    for dy in range(3):
+        for dx in range(3):
+            A, p = amap[dy]
+            B, q = amap[dx]
+            w2[A, B, (p * 2 + q) * cin:(p * 2 + q + 1) * cin] = wk_f[dy, dx]
+    w2 = jnp.asarray(w2, dt)
+
+    def s2d(x):
+        b = x.shape[0]
+        i2 = x.reshape(b, h // 2, 2, w // 2, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+        i2 = i2.reshape(b, h // 2, w // 2, 4 * cin)
+        y = jax.lax.conv_general_dilated(
+            i2.astype(dt), w2, window_strides=(1, 1),
+            padding=[(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt)
+        return y
+
+    ya = jax.jit(direct)(x)
+    yb = jax.jit(s2d)(x)
+    print("maxdiff:", float(jnp.max(jnp.abs(ya.astype(jnp.float32)
+                                            - yb.astype(jnp.float32)))))
+    for r in range(3):
+        ms_a = timeit(jax.jit(direct), (x,), iters) * 1e3
+        ms_b = timeit(jax.jit(s2d), (x,), iters) * 1e3
+        print(f"round {r}: direct {ms_a:7.3f} ms   s2d {ms_b:7.3f} ms")
+
+
 def exp_ct_layout(batch, iters):
     """(B, C, T) vs (B, T, C) token layout for the conv-transformer.
 
