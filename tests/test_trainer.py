@@ -270,3 +270,24 @@ def test_seq_parallel_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(ts1.params["final_layer1.weight"]),
         np.asarray(ts2.params["final_layer1.weight"]), atol=5e-6)
+
+
+def test_seq_parallel_eval_matches_single_device(setup):
+    """Eval forward under the dp x sp mesh reproduces single-device heatmaps."""
+    cfg, spec, params, model_state = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    batch = _make_batch(np.random.RandomState(9), 4)
+    batch = {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")}
+
+    ref, _ = make_eval_step(spec)(params, model_state, batch)
+
+    cfg2 = cfg.clone()
+    cfg2.TPU.MESH_AXES = ["data", "seq"]
+    cfg2.TPU.MESH_SHAPE = [2, 4]
+    mesh = make_mesh(cfg2)
+    fn = make_eval_step(spec, seq_axis="seq")
+    with jax.sharding.set_mesh(mesh):
+        out, _ = fn(replicate(mesh, params), replicate(mesh, model_state),
+                    shard_batch(mesh, batch))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
