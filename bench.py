@@ -43,10 +43,10 @@ def _build(compute_dtype):
 
     spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
     params, state = init_otpose(jax.random.PRNGKey(0), spec)
-    # eval fast path: paired temporal encoders + bf16 weights, prepared once
-    # outside the step (models/otpose.py::prepare_eval_params)
+    # eval fast path: bf16 conv/dense weights, prepared once outside the
+    # step (models/otpose.py::prepare_eval_params)
     params = prepare_eval_params(
-        params, spec,
+        params,
         param_dtype=compute_dtype if compute_dtype != jnp.float32 else None)
 
     def f(params, state, x, margin):
@@ -159,9 +159,11 @@ def _measure_train_e2e(batch: int, iters: int) -> float:
             epoch += 1
             loader.set_epoch(epoch)
             for b, _ in loader:
+                # fresh dropout/drop-path masks per step, as train_epoch does
                 ts, m = step_fn(ts, {k: b[k] for k in
                                      ("inputs", "margin", "target",
-                                      "target_weight")}, rng)
+                                      "target_weight")},
+                                jax.random.fold_in(rng, done))
                 done += 1
                 if done >= iters:
                     break

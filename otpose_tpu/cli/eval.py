@@ -114,11 +114,11 @@ class Eval(RunBase):
             if k in model_state and tuple(model_state[k].shape) == tuple(v.shape):
                 model_state[k] = jnp.asarray(v)
         logger.info("=> loaded %d/%d tensors", n, len(params))
-        # eval fast path (once per checkpoint, outside the step): paired
-        # temporal encoders; optional bf16 weights — halves param HBM reads,
-        # norm statistics still run in f32 inside the kernels
+        # eval fast path (once per checkpoint, outside the step): optional
+        # bf16 conv/dense weights — halves param HBM reads; norm statistics
+        # still run in f32 inside the kernels (models/otpose.py)
         params = prepare_eval_params(
-            params, self.spec,
+            params,
             param_dtype=jnp.bfloat16
             if self.cfg.TPU.PARAM_DTYPE == "bfloat16" else None)
         params = replicate(self.mesh, params)

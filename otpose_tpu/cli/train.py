@@ -23,8 +23,7 @@ from otpose_tpu.engine.optim import make_optimizer, make_schedule
 from otpose_tpu.engine.runner import evaluate_epoch_decoded, train_epoch
 from otpose_tpu.engine.trainer import (init_train_state, make_decoded_eval_step,
                                        make_train_step)
-from otpose_tpu.models.otpose import (OTPoseSpec, init_otpose,
-                                      prepare_eval_params)
+from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
 from otpose_tpu.models.torch2jax import filter_pretrained_for_otpose
 from otpose_tpu.ops.heatmap import adjust_sigma
 from otpose_tpu.parallel.mesh import (make_eval_shard_fn, make_mesh, replicate,
@@ -162,11 +161,8 @@ class Train(RunBase):
                             shuffle=False)
         if self._val_dataset is None:
             return None
-        # paired-encoder eval view of the current params (pure derived
-        # transform, once per validation epoch — models/otpose.py)
-        eval_params = prepare_eval_params(self.train_state.params, self.spec)
         _, mean_ap = evaluate_epoch_decoded(
-            self.eval_fn, eval_params, self.train_state.model_state,
+            self.eval_fn, self.train_state.params, self.train_state.model_state,
             self._val_loader, self._val_dataset, cfg, cfg.OUTPUT_DIR,
             phase="validate", tb_writer=self.tb_writer, global_steps=tb_steps,
             shard_fn=make_eval_shard_fn(self.mesh))

@@ -226,19 +226,20 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
     return output, rough, intersection, prev_b, context_encoding, squeezed, total_b
 
 
-def prepare_eval_params(params, spec: OTPoseSpec, *, param_dtype=None):
-    """Derived eval-only view of the param dict, built ONCE per eval epoch
-    outside the jitted step: casts >=2-D weights (convs/denses) to
-    ``param_dtype`` — bf16 halves weight HBM reads and drops the per-step
-    cast kernels — while 1-D norm/bias params stay f32 for exact statistics.
+def prepare_eval_params(params, *, param_dtype=None):
+    """Eval-only view of the param dict, built ONCE per eval epoch outside
+    the jitted step: casts >=2-D weights (convs/denses) to ``param_dtype`` —
+    bf16 halves weight HBM reads and drops the per-step cast kernels — while
+    1-D norm/bias params stay f32 for exact statistics.  ``param_dtype=None``
+    is the identity.
 
-    (Round-2 perf log: pre-stacking the two temporal encoders for a vmapped
-    pass was also tried here and measured ~7% SLOWER end-to-end — XLA lowers
-    the s=2 batched matmuls worse than two plain ones — so this transform is
-    dtype-only.  Training and checkpointing always use the plain dict.)
+    (This transform is dtype-only by design: pre-stacking the two temporal
+    encoders for a vmapped pass was tried here and measured ~7% SLOWER
+    end-to-end — see STATUS.md perf log.  Training and checkpointing always
+    use the plain dict.)
     """
     if param_dtype is None:
-        return dict(params)
+        return params
     return {k: v.astype(param_dtype)
             if v.ndim >= 2 and v.dtype == jnp.float32 else v
             for k, v in params.items()}

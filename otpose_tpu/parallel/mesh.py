@@ -53,7 +53,11 @@ def make_eval_shard_fn(mesh: Mesh):
     divide the device count (eval loaders don't drop_last); such a batch is
     placed replicated instead — correctness is unaffected, only that one
     batch loses the parallelism."""
-    n = mesh.devices.size
+    # batches shard on the 'data' axis only, so divisibility is against that
+    # axis size — not the total device count (they differ under a dp x sp
+    # mesh, where e.g. (data=4, seq=2) must shard any batch divisible by 4)
+    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data",
+                                                          mesh.devices.size)
 
     def shard_fn(batch):
         bs = next(iter(batch.values())).shape[0]

@@ -21,21 +21,34 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+_trace_active = [False]  # module-level: trace state survives across steps
+
+
 @contextlib.contextmanager
 def maybe_trace(profile_dir: Optional[str], step: int = 0,
                 first_step: int = 10, num_steps: int = 5):
     """Capture a jax.profiler trace for steps [first, first+num) when a
-    profile dir is configured; no-op otherwise."""
-    if not profile_dir or not (first_step <= step < first_step + num_steps):
+    profile dir is configured; no-op otherwise.
+
+    Start/stop are paired via module state, not by step arithmetic alone:
+    a run resuming from a checkpoint can enter the window mid-way (no
+    start happened), and the stop fires on the last windowed step OR the
+    first step past the window — whichever is seen — so a resumed or
+    short run never calls stop_trace unmatched.
+    """
+    if not profile_dir:
         yield
         return
-    if step == first_step:
+    in_window = first_step <= step < first_step + num_steps
+    if in_window and not _trace_active[0]:
         jax.profiler.start_trace(profile_dir)
+        _trace_active[0] = True
     try:
         yield
     finally:
-        if step == first_step + num_steps - 1:
+        if _trace_active[0] and step >= first_step + num_steps - 1:
             jax.profiler.stop_trace()
+            _trace_active[0] = False
             logger.info("profiler trace written to %s", profile_dir)
 
 
