@@ -28,3 +28,20 @@ REFERENCE_DIR = "/root/reference"
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_global_mesh():
+    """The CLI classes intentionally set the process-global mesh
+    (jax.sharding.set_mesh used as a global setter, cli/train.py) — restore
+    the thread-local mesh context around every test so a CLI test cannot
+    leak its mesh into later tests (a leaked 'data':8 mesh makes any test
+    that enters a different mesh fail with ShardingTypeError: 'Mesh for all
+    inputs should be equal')."""
+    from jax._src import config as _jcfg
+
+    prev_abs = _jcfg.abstract_mesh_context_manager.get_local()
+    prev_dev = _jcfg.device_context.get_local()
+    yield
+    _jcfg.abstract_mesh_context_manager.set_local(prev_abs)
+    _jcfg.device_context.set_local(prev_dev)
