@@ -49,7 +49,7 @@ class AverageMeter:
 
 
 def make_flip_eval_step(spec, *, compute_dtype=jnp.float32,
-                        seq_axis=None):
+                        seq_axis=None, fused=None):
     """Eval forward with horizontal flip-test averaging.
 
     Flips the 5-frame input stack, runs the model, unflips the heatmaps and
@@ -62,11 +62,11 @@ def make_flip_eval_step(spec, *, compute_dtype=jnp.float32,
 
     def step(params, model_state, batch):
         ctx = Ctx(params, model_state, train=False, compute_dtype=compute_dtype,
-                  seq_axis=seq_axis)
+                  seq_axis=seq_axis, fused=fused)
         out = otpose_forward(ctx, batch["inputs"], batch["margin"], spec)
         heat = out[0]
         ctx2 = Ctx(params, model_state, train=False, compute_dtype=compute_dtype,
-                   seq_axis=seq_axis)
+                   seq_axis=seq_axis, fused=fused)
         flipped = batch["inputs"][:, :, ::-1, :]
         out_f = otpose_forward(ctx2, flipped, batch["margin"], spec)
         heat_f = out_f[0][:, :, ::-1, :]          # unflip spatially

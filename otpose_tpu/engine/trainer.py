@@ -103,12 +103,16 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
 
 
 def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
-                   seq_axis: str | None = None) -> Callable:
-    """jit'd eval forward: (params, model_state, batch) -> (pred_heatmaps, teacher)."""
+                   seq_axis: str | None = None,
+                   fused: bool | None = None) -> Callable:
+    """jit'd eval forward: (params, model_state, batch) -> (pred_heatmaps, teacher).
+
+    ``fused``: force the Pallas fused-MLP kernel on/off (None = Ctx auto —
+    on for a single real TPU device)."""
 
     def step(params, model_state, batch):
         ctx = Ctx(params, model_state, train=False, compute_dtype=compute_dtype,
-                  seq_axis=seq_axis)
+                  seq_axis=seq_axis, fused=fused)
         out = otpose_forward(ctx, batch["inputs"], batch["margin"], spec)
         bsz = batch["inputs"].shape[0]
         return out[0], out[1][:bsz]
@@ -118,7 +122,8 @@ def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
 
 def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
                            flip: bool = False,
-                           seq_axis: str | None = None) -> Callable:
+                           seq_axis: str | None = None,
+                           fused: bool | None = None) -> Callable:
     """jit'd eval forward + on-device decode.
 
     Returns (refined_coords (B, J, 2), maxvals (B, J, 1),
@@ -133,10 +138,10 @@ def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
         from otpose_tpu.engine.runner import make_flip_eval_step
 
         fwd = make_flip_eval_step(spec, compute_dtype=compute_dtype,
-                                  seq_axis=seq_axis)
+                                  seq_axis=seq_axis, fused=fused)
     else:
         fwd = make_eval_step(spec, compute_dtype=compute_dtype,
-                             seq_axis=seq_axis)
+                             seq_axis=seq_axis, fused=fused)
 
     def step(params, model_state, batch):
         heat, _teacher = fwd(params, model_state, batch)

@@ -34,6 +34,11 @@ def get_sinusoid_encoding(n_position: int, d_hid: int) -> np.ndarray:
     return table.astype(np.float32)[None]
 
 
+def _qkv_supported(t: int) -> bool:
+    from otpose_tpu.ops.pallas.fused_qkv import fused_qkv_supported
+    return fused_qkv_supported(t)
+
+
 def _dense_1x1(ctx: Ctx, name: str, x: jnp.ndarray) -> jnp.ndarray:
     """1x1 conv1d == dense over channels. Kernel stored (1, C_in, C_out)."""
     w = ctx.param(f"{name}.weight")[0]
@@ -280,8 +285,17 @@ def masked_mhca_ct(ctx: Ctx, x: jnp.ndarray, n_head: int, stride: int = 1,
     q = _dense_1x1_ct(ctx, "query", q)
     k = _dense_1x1_ct(ctx, "key", k)
     v = _dense_1x1_ct(ctx, "value", v)
+    return _mhca_tail_ct(ctx, q, k, v, n_head,
+                         attn_pdrop=attn_pdrop, proj_pdrop=proj_pdrop)
 
-    tq = q.shape[-1]
+
+def _mhca_tail_ct(ctx: Ctx, q, k, v, n_head: int, *,
+                  attn_pdrop: float = 0.0, proj_pdrop: float = 0.0):
+    """Channel attention + proj on projected q/k/v (B, C, T')
+    (ref: blocks.py:427-453)."""
+    b, c, tq = q.shape
+    hs = c // n_head
+    scale = 1.0 / np.sqrt(hs)
     qh = q.reshape(b, n_head, hs, tq)   # free: C-major already
     kh = k.reshape(b, n_head, hs, tq)
     vh = v.reshape(b, n_head, hs, tq)
@@ -291,10 +305,10 @@ def masked_mhca_ct(ctx: Ctx, x: jnp.ndarray, n_head: int, stride: int = 1,
                      precision=core._mxu_precision(ctx.compute_dtype)).astype(jnp.float32)
     att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
     att = att / jnp.sum(att, axis=-1, keepdims=True)
-    att = ctx.dropout(att.astype(x.dtype), attn_pdrop)
-    out = jnp.einsum("bhcd,bhdt->bhct", att.astype(x.dtype), vh,
+    att = ctx.dropout(att.astype(q.dtype), attn_pdrop)
+    out = jnp.einsum("bhcd,bhdt->bhct", att.astype(q.dtype), vh,
                      preferred_element_type=core._preferred(ctx.compute_dtype),
-                     precision=core._mxu_precision(ctx.compute_dtype)).astype(x.dtype)
+                     precision=core._mxu_precision(ctx.compute_dtype)).astype(q.dtype)
 
     # the reference's scrambled re-assembly (ref: blocks.py:447): one
     # (hs, T') transpose, directly into (B, C, T')
@@ -323,14 +337,25 @@ def transformer_block_ct(ctx: Ctx, x: jnp.ndarray, n_head: int, *,
     transpose pair (no flagship spec uses local windows; the fallback keeps
     the two implementations from diverging).
     """
-    normed = ctx.layer_norm_ct("ln1", x)
+    fused_ok = (ctx.fused and not ctx.train and ctx.seq_axis is None
+                and x.shape[1] >= 32)
     if mha_win_size > 1:
+        normed = ctx.layer_norm_ct("ln1", x)
         out = local_masked_mhca(ctx.sub("attn"), normed.transpose(0, 2, 1),
                                 n_head, window_size=mha_win_size,
                                 stride=ds_stride, attn_pdrop=attn_pdrop,
                                 proj_pdrop=proj_pdrop,
                                 use_rel_pe=use_rel_pe).transpose(0, 2, 1)
+    elif fused_ok and ds_stride == 1 and _qkv_supported(x.shape[-1]):
+        # one fused VMEM pass for ln1 + depthwise q/k/v + channel-LN +
+        # projections (eval only; see ops/pallas/fused_qkv.py), then the
+        # attention tail in XLA
+        from otpose_tpu.ops.pallas.fused_qkv import fused_qkv_block_ct
+        q, k, v = fused_qkv_block_ct(ctx, x)
+        out = _mhca_tail_ct(ctx.sub("attn"), q, k, v, n_head,
+                            attn_pdrop=attn_pdrop, proj_pdrop=proj_pdrop)
     else:
+        normed = ctx.layer_norm_ct("ln1", x)
         out = masked_mhca_ct(ctx.sub("attn"), normed, n_head,
                              stride=ds_stride, attn_pdrop=attn_pdrop,
                              proj_pdrop=proj_pdrop)
@@ -340,6 +365,15 @@ def transformer_block_ct(ctx: Ctx, x: jnp.ndarray, n_head: int, *,
     else:
         skip = x
     out = skip + affine_drop_path_ct(ctx, "drop_path_attn", out, path_pdrop)
+
+    if fused_ok:
+        # single fused VMEM pass for ln2 + mlp + residual (eval only; see
+        # ops/pallas/fused_mlp.py).  Dropout and drop-path are identity at
+        # eval; the drop-path scale is folded into the kernel's W2/b2.
+        # C >= 32 (fused_ok): at the flow encoder's C=17 the kernels pad to
+        # 32 sublanes and measured no reliable win (STATUS.md perf log).
+        from otpose_tpu.ops.pallas.fused_mlp import fused_mlp_block_ct
+        return fused_mlp_block_ct(ctx, out)
 
     h = ctx.layer_norm_ct("ln2", out)
     h = _dense_1x1_ct(ctx, "mlp.0", h)

@@ -36,6 +36,7 @@ class Ctx:
                  compute_dtype: jnp.dtype = jnp.float32,
                  sync_axis: Optional[str] = None,
                  seq_axis: Optional[str] = None,
+                 fused: Optional[bool] = None,
                  prefix: str = "", root: Optional["Ctx"] = None):
         self.params = params
         self.state = state
@@ -46,6 +47,16 @@ class Ctx:
         # (sequence parallelism for the T=6912 grids; None = data-parallel
         # only).  Requires an active jax.sharding.set_mesh context.
         self.seq_axis = seq_axis
+        # Pallas fused-MLP kernel for the conv-transformer blocks (eval path
+        # only; training keeps plain jnp ops for autodiff).  Auto: on for a
+        # single real TPU device — under a multi-device mesh the GSPMD
+        # partitioner has no sharding rule for the custom call, so the XLA
+        # path is kept there.  Tests force True to run the kernel
+        # interpreted on CPU.
+        if fused is None:
+            fused = (jax.default_backend() == "tpu"
+                     and jax.device_count() == 1)
+        self.fused = bool(fused) and not train
         self._prefix = prefix
         if root is None:
             self.new_state: Params = {}
@@ -64,6 +75,7 @@ class Ctx:
         child.compute_dtype = self.compute_dtype
         child.sync_axis = self.sync_axis
         child.seq_axis = self.seq_axis
+        child.fused = self.fused
         child._prefix = self._key(name) + "."
         child._root = self._root
         return child
@@ -79,6 +91,7 @@ class Ctx:
         child.compute_dtype = self.compute_dtype
         child.sync_axis = self.sync_axis
         child.seq_axis = self.seq_axis
+        child.fused = self.fused
         child._prefix = self._prefix
         child._root = self._root
         return child

@@ -418,6 +418,94 @@ def exp_ct_layout(batch, iters):
               f"CT {ms_ct:7.2f} ms   maxdiff {max(diffs):.2e}")
 
 
+def exp_fused_mlp(batch, iters):
+    """Flagship eval forward: Pallas fused-MLP kernel on vs off, interleaved."""
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.models.otpose import (OTPoseSpec, init_otpose,
+                                          otpose_forward, prepare_eval_params)
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
+    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+    params = prepare_eval_params(
+        params, param_dtype=dt if dt != jnp.float32 else None)
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 384, 288, 15),
+                    jnp.float32)
+    margin = jnp.ones((batch, 4), jnp.float32)
+
+    def make(fused):
+        def f(params, state, x, margin):
+            ctx = Ctx(params, state, train=False, compute_dtype=dt, fused=fused)
+            return otpose_forward(ctx, x, margin, spec)[0]
+        return jax.jit(f)
+
+    fa, fb = make(True), make(False)
+    oa = fa(params, state, x, margin)
+    ob = fb(params, state, x, margin)
+    print("maxdiff fused vs xla:",
+          float(jnp.max(jnp.abs(oa.astype(jnp.float32)
+                                - ob.astype(jnp.float32)))))
+    for f in (fa, fb):
+        timeit(f, (params, state, x, margin), 3)  # warm both
+    for r in range(4):
+        ma = timeit(fa, (params, state, x, margin), iters) * 1e3
+        mb = timeit(fb, (params, state, x, margin), iters) * 1e3
+        print(f"round {r}: fused {ma:7.2f} ms   xla {mb:7.2f} ms   "
+              f"delta {mb - ma:+6.2f} ms", flush=True)
+
+
+def exp_fused_mlp_enc(batch, iters):
+    """Encoder-only fused-MLP A/B + T-tile sweep (temporal and flow specs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models.conv_transformer import (ConvTransformerSpec,
+                                                    conv_transformer_forward,
+                                                    init_conv_transformer)
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.ops.pallas import fused_mlp
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    for c, nh, arch, tag in ((136, 2, (0, 6, 2), "temporal"),
+                             (17, 1, (0, 6, 0), "flow")):
+        spec = ConvTransformerSpec(n_in=c, n_embd=c, n_head=nh, n_embd_ks=3,
+                                   max_len=6912, arch=arch)
+        params, state = init_conv_transformer(jax.random.PRNGKey(0), spec)
+        params = {k: v.astype(dt) if v.dtype == jnp.float32 else v
+                  for k, v in params.items()}
+        rng = np.random.RandomState(0)
+        xmap = jnp.asarray(rng.randn(batch, 96, 72, c), dt)
+
+        def make(fused):
+            def run(params, state, xmap, spec=spec):
+                ctx = Ctx(params, state, train=False, compute_dtype=dt,
+                          fused=fused)
+                return conv_transformer_forward(ctx, xmap, spec, "ct")
+            return jax.jit(run)
+
+        fa, fb = make(True), make(False)
+        d = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                      - b.astype(jnp.float32))))
+                for a, b in zip(fa(params, state, xmap),
+                                fb(params, state, xmap)))
+        timeit(fb, (params, state, xmap), 3)
+        ms_b = timeit(fb, (params, state, xmap), iters) * 1e3
+        for tile in (768, 1152, 2304):
+            fused_mlp._T_TILE = tile
+            fa = make(True)
+            timeit(fa, (params, state, xmap), 3)
+            ms_a = timeit(fa, (params, state, xmap), iters) * 1e3
+            ms_b2 = timeit(fb, (params, state, xmap), iters) * 1e3
+            print(f"{tag}: tile {tile}: fused {ms_a:7.2f} ms   "
+                  f"xla {ms_b2:7.2f} ms (first {ms_b:7.2f})  maxdiff {d:.2e}",
+                  flush=True)
+        fused_mlp._T_TILE = 1152
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="hrnet_bn")
