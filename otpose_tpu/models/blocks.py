@@ -35,8 +35,8 @@ def get_sinusoid_encoding(n_position: int, d_hid: int) -> np.ndarray:
 
 
 def _qkv_supported(t: int) -> bool:
-    from otpose_tpu.ops.pallas.fused_qkv import fused_qkv_supported
-    return fused_qkv_supported(t)
+    from otpose_tpu.ops.pallas.fused_attn import fused_attn_supported
+    return fused_attn_supported(t)
 
 
 def _dense_1x1(ctx: Ctx, name: str, x: jnp.ndarray) -> jnp.ndarray:
@@ -348,12 +348,19 @@ def transformer_block_ct(ctx: Ctx, x: jnp.ndarray, n_head: int, *,
                                 use_rel_pe=use_rel_pe).transpose(0, 2, 1)
     elif fused_ok and ds_stride == 1 and _qkv_supported(x.shape[-1]):
         # one fused VMEM pass for ln1 + depthwise q/k/v + channel-LN +
-        # projections (eval only; see ops/pallas/fused_qkv.py), then the
-        # attention tail in XLA
-        from otpose_tpu.ops.pallas.fused_qkv import fused_qkv_block_ct
-        q, k, v = fused_qkv_block_ct(ctx, x)
-        out = _mhca_tail_ct(ctx.sub("attn"), q, k, v, n_head,
-                            attn_pdrop=attn_pdrop, proj_pdrop=proj_pdrop)
+        # projections + channel attention (eval only; q/k/v never touch
+        # HBM — see ops/pallas/fused_attn.py); only the reference's
+        # token/channel-interleaving scramble (ref: blocks.py:447), the
+        # 1x1 projection and the residual stay in XLA
+        from otpose_tpu.ops.pallas.fused_attn import fused_attn_block_ct
+        pre = fused_attn_block_ct(ctx, x, n_head)      # (B, C, T) att @ v
+        bb, cc, tt = pre.shape
+        hs = cc // n_head
+        out = pre.reshape(bb, n_head, hs, tt).transpose(0, 1, 3, 2)
+        out = out.reshape(bb, cc, tt)
+        a = ctx.sub("attn")
+        out = _dense_1x1_ct(a, "proj", out)
+        out = a.dropout(out, proj_pdrop)
     else:
         normed = ctx.layer_norm_ct("ln1", x)
         out = masked_mhca_ct(ctx.sub("attn"), normed, n_head,

@@ -506,6 +506,138 @@ def exp_fused_mlp_enc(batch, iters):
         fused_mlp._T_TILE = 1152
 
 
+def exp_fused_attn(batch, iters):
+    """Flagship eval forward, interleaved 3-way: fused-attention kernel
+    (q/k/v+scores+att@v in VMEM) vs the round-2 fused-QKV kernel + XLA
+    attention tail vs plain XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models import blocks
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.models.otpose import (OTPoseSpec, init_otpose,
+                                          otpose_forward, prepare_eval_params)
+    from otpose_tpu.ops.pallas import fused_attn as fattn
+    from otpose_tpu.ops.pallas.fused_qkv import fused_qkv_block_ct
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
+    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+    params = prepare_eval_params(
+        params, param_dtype=dt if dt != jnp.float32 else None)
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 384, 288, 15),
+                    jnp.float32)
+    margin = jnp.ones((batch, 4), jnp.float32)
+
+    real_block = fattn.fused_attn_block_ct
+
+    def old_qkv_block(ctx, xx, n_head):
+        # round-2 organization: fused QKV kernel, attention in XLA; returns
+        # the pre-scramble out so the shared block tail applies unchanged
+        q, k, v = fused_qkv_block_ct(ctx, xx)
+        b, c, t = q.shape
+        hs = c // n_head
+        import numpy as _np
+        scale = 1.0 / _np.sqrt(hs)
+        from otpose_tpu.models import core as _core
+        qh = q.reshape(b, n_head, hs, t)
+        kh = k.reshape(b, n_head, hs, t)
+        vh = v.reshape(b, n_head, hs, t)
+        att = jnp.einsum("bhct,bhdt->bhcd", qh * scale, kh,
+                         preferred_element_type=_core._preferred(q.dtype),
+                         precision=_core._mxu_precision(q.dtype)
+                         ).astype(jnp.float32)
+        att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
+        att = (att / jnp.sum(att, axis=-1, keepdims=True)).astype(q.dtype)
+        out = jnp.einsum("bhcd,bhdt->bhct", att, vh,
+                         preferred_element_type=_core._preferred(q.dtype),
+                         precision=_core._mxu_precision(q.dtype)
+                         ).astype(q.dtype)
+        return out.reshape(b, c, t)
+
+    def make(fused, block_impl=None):
+        def f(params, state, x, margin):
+            if block_impl is not None:
+                fattn.fused_attn_block_ct = block_impl
+            try:
+                ctx = Ctx(params, state, train=False, compute_dtype=dt,
+                          fused=fused)
+                return otpose_forward(ctx, x, margin, spec)[0]
+            finally:
+                fattn.fused_attn_block_ct = real_block
+        return jax.jit(f)
+
+    f_new = make(True)
+    f_old = make(True, old_qkv_block)
+    f_xla = make(False)
+    o_new = f_new(params, state, x, margin)
+    o_old = f_old(params, state, x, margin)
+    o_xla = f_xla(params, state, x, margin)
+    print("maxdiff new vs xla:",
+          float(jnp.max(jnp.abs(o_new.astype(jnp.float32)
+                                - o_xla.astype(jnp.float32)))))
+    print("maxdiff new vs old:",
+          float(jnp.max(jnp.abs(o_new.astype(jnp.float32)
+                                - o_old.astype(jnp.float32)))))
+    for f in (f_new, f_old, f_xla):
+        timeit(f, (params, state, x, margin), 3)
+    for r in range(4):
+        mn = timeit(f_new, (params, state, x, margin), iters) * 1e3
+        mo = timeit(f_old, (params, state, x, margin), iters) * 1e3
+        mx = timeit(f_xla, (params, state, x, margin), iters) * 1e3
+        print(f"round {r}: attn-fused {mn:7.2f} ms   qkv-fused {mo:7.2f} ms"
+              f"   xla {mx:7.2f} ms   new-vs-old {mo - mn:+6.2f} ms",
+              flush=True)
+
+
+def exp_final_commute(batch, iters):
+    """Flagship eval forward: token-space final layer (1x1 conv commuted
+    through the branch upsample) vs the explicit stack+NHWC+conv2d path.
+    The old path is selected by spoofing final_conv_kernel=2 (same 1x1
+    weights; the else-branch uses padding 0)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.models.core import Ctx
+    from otpose_tpu.models.otpose import (OTPoseSpec, init_otpose,
+                                          otpose_forward, prepare_eval_params)
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
+    spec_old = dataclasses.replace(
+        spec, hrnet=dataclasses.replace(spec.hrnet, final_conv_kernel=2))
+    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+    params = prepare_eval_params(
+        params, param_dtype=dt if dt != jnp.float32 else None)
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 384, 288, 15),
+                    jnp.float32)
+    margin = jnp.ones((batch, 4), jnp.float32)
+
+    def make(sp):
+        def f(params, state, x, margin):
+            ctx = Ctx(params, state, train=False, compute_dtype=dt)
+            return otpose_forward(ctx, x, margin, sp)[0]
+        return jax.jit(f)
+
+    fa, fb = make(spec), make(spec_old)
+    oa = fa(params, state, x, margin)
+    ob = fb(params, state, x, margin)
+    print("maxdiff commute vs stack:",
+          float(jnp.max(jnp.abs(oa.astype(jnp.float32)
+                                - ob.astype(jnp.float32)))))
+    for f in (fa, fb):
+        timeit(f, (params, state, x, margin), 3)
+    for r in range(4):
+        ma = timeit(fa, (params, state, x, margin), iters) * 1e3
+        mb = timeit(fb, (params, state, x, margin), iters) * 1e3
+        print(f"round {r}: commute {ma:7.2f} ms   stack {mb:7.2f} ms   "
+              f"delta {mb - ma:+6.2f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="hrnet_bn")
