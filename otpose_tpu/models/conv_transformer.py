@@ -46,7 +46,8 @@ class ConvTransformerSpec:
 
 def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
                              spec: ConvTransformerSpec,
-                             out_layout: str = "tc") -> List[jnp.ndarray]:
+                             out_layout: str = "tc",
+                             upsample: bool = True) -> List[jnp.ndarray]:
     """x: (B, H, W, C_in) feature map -> list of token maps
     (1 stem output + arch[2] upsampled branch outputs)
     (ref: ConvVideoTransformer.py:123-185).
@@ -56,6 +57,13 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
     (B, C, T) layout internally either way — T=H*W lands on the 128-lane
     axis fully tiled while C=136/17 would waste ~half of it — so "ct"
     (used by ``otpose_forward``) also skips the exit transposes.
+
+    ``upsample=False`` returns the branch outputs at their native strided
+    lengths (T/2, T/4, ...) instead of linearly upsampling each back to T
+    (ref: ConvVideoTransformer.py:172-179).  Callers that consume the
+    outputs through a 1x1 conv can commute the conv with the (linear)
+    upsampling and interpolate the much smaller result instead — see
+    ``otpose._final_layer_ct``.
     """
     b, h, w, _ = x.shape
     t = h * w
@@ -117,7 +125,8 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
             attn_pdrop=spec.attn_pdrop, proj_pdrop=spec.proj_pdrop,
             path_pdrop=spec.path_pdrop, mha_win_size=_win(1 + i),
             use_rel_pe=spec.use_rel_pe)
-        out_feats.append(core.upsample_linear_1d_ct(tokens, t))
+        out_feats.append(core.upsample_linear_1d_ct(tokens, t)
+                         if upsample else tokens)
     out_feats = [_seq_shard(f, None) for f in out_feats]  # gather T back
     if out_layout == "ct":
         return out_feats

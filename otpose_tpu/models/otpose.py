@@ -108,6 +108,36 @@ def _tokens_to_map(feats, b, pe_h, pe_w):
     return x.transpose(0, 2, 3, 1)                # NHWC
 
 
+def _final_layer_ct(ctx: Ctx, name: str, feats, b: int, pe_h: int,
+                    pe_w: int) -> jnp.ndarray:
+    """Final 1x1 conv over stacked encoder scales, computed in token space.
+
+    Equivalent to ``conv2d(name, _tokens_to_map(feats_upsampled))`` for a
+    1x1 kernel (ref: OTPose.py:332-338,362-369): the stored (1, 1, n*C, J)
+    weight is split scale-major to match ``_tokens_to_map``'s channel
+    order, each scale's slice is applied to its native strided tokens, and
+    the J-channel partial results are linearly upsampled (the conv and the
+    linear interpolation commute) and summed.  Returns NHWC (B, H, W, J).
+    """
+    t = pe_h * pe_w
+    w = ctx.param(f"{name}.weight")[0, 0]       # (n*C, J)
+    bias = ctx.params.get(ctx._key(f"{name}.bias"))
+    c = feats[0].shape[1]
+    y = None
+    for s, f in enumerate(feats):
+        ws = w[s * c:(s + 1) * c].astype(ctx.compute_dtype)
+        ys = jnp.einsum("bct,cd->bdt", f.astype(ctx.compute_dtype), ws,
+                        preferred_element_type=core._preferred(ctx.compute_dtype),
+                        precision=core._mxu_precision(ctx.compute_dtype)
+                        ).astype(f.dtype)
+        if ys.shape[-1] != t:
+            ys = core.upsample_linear_1d_ct(ys, t)
+        y = ys if y is None else y + ys
+    if bias is not None:
+        y = y + bias.astype(y.dtype)[:, None]
+    return y.reshape(b, -1, pe_h, pe_w).transpose(0, 2, 3, 1)
+
+
 def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
                    spec: OTPoseSpec):
     """x: (B, H, W, 15) five RGB frames stacked channel-wise in the order
@@ -182,16 +212,28 @@ def otpose_forward(ctx: Ctx, x: jnp.ndarray, margin: jnp.ndarray,
     # ~7% with in-step stacking, ~7% even with params pre-stacked outside the
     # step.  XLA lowers the s=2 batched matmuls worse than two plain ones.
     # See STATUS.md perf log; keep them sequential.)
+    commute = spec.hrnet.final_conv_kernel == 1
     x1_feats = conv_transformer_forward(ctx.sub("temporal_encoder1"), x1, tspec,
-                                        out_layout="ct")
+                                        out_layout="ct", upsample=not commute)
     x2_feats = conv_transformer_forward(ctx.sub("temporal_encoder2"), x2, tspec,
-                                        out_layout="ct")
-    x1m = _tokens_to_map(x1_feats, b, spec.pe_h, spec.pe_w)
-    x2m = _tokens_to_map(x2_feats, b, spec.pe_h, spec.pe_w)
-
-    pad = 1 if spec.hrnet.final_conv_kernel == 3 else 0
-    y1 = ctx.conv2d("final_layer1", x1m, padding=pad)
-    y2 = ctx.conv2d("final_layer2", x2m, padding=pad)
+                                        out_layout="ct", upsample=not commute)
+    if commute:
+        # final_layer is a 1x1 conv (FINAL_CONV_KERNEL=1, the shipped spec):
+        # a per-token channel map commutes with the encoder's linear branch
+        # upsampling, so apply the conv per scale on the native strided
+        # tokens and upsample the J-channel results — this skips the
+        # (B, 3C, T) stack/transpose materialization and upsamples 8x fewer
+        # channels (same math as conv(stack(...)), ref: OTPose.py:332-338)
+        y1 = _final_layer_ct(ctx, "final_layer1", x1_feats, b,
+                             spec.pe_h, spec.pe_w)
+        y2 = _final_layer_ct(ctx, "final_layer2", x2_feats, b,
+                             spec.pe_h, spec.pe_w)
+    else:
+        x1m = _tokens_to_map(x1_feats, b, spec.pe_h, spec.pe_w)
+        x2m = _tokens_to_map(x2_feats, b, spec.pe_h, spec.pe_w)
+        pad = 1 if spec.hrnet.final_conv_kernel == 3 else 0
+        y1 = ctx.conv2d("final_layer1", x1m, padding=pad)
+        y2 = ctx.conv2d("final_layer2", x2m, padding=pad)
     branches = jnp.concatenate([y1, y2], axis=-1)
 
     def_heatmaps = rsb.chain_rsb_blocks(ctx.sub("def_fuse"), total_b, j, j,

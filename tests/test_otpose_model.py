@@ -109,3 +109,29 @@ def test_margin_penalty_effect(model_and_inputs):
     diff_big = np.abs(np.asarray(out_big[3]) - cur).max()
     diff_small = np.abs(np.asarray(out_small[3]) - cur).max()
     assert diff_big < diff_small / 10
+
+
+def test_final_layer_commute_matches_explicit_conv(model_and_inputs):
+    """The token-space final layer (1x1 conv commuted through the linear
+    branch upsampling, otpose._final_layer_ct) must equal the explicit
+    stack -> NHWC -> conv2d path (ref: OTPose.py:332-338,362-369)."""
+    from otpose_tpu.models import core
+    from otpose_tpu.models.otpose import _final_layer_ct, _tokens_to_map
+
+    cfg, spec, params, state, x, margin = model_and_inputs
+    rng = np.random.RandomState(7)
+    b, c = 2, spec.temporal_encoding_dim
+    t = spec.pe_h * spec.pe_w
+    # native strided branch outputs: T, T/2, T/4 (scale_arch[-1] == 2)
+    feats = [jnp.asarray(rng.randn(b, c, t // (2 ** s)).astype(np.float32))
+             for s in range(spec.scale_arch[-1] + 1)]
+    ctx = Ctx(params, state, train=False)
+
+    got = _final_layer_ct(ctx, "final_layer1", feats, b, spec.pe_h, spec.pe_w)
+
+    up = [f if f.shape[-1] == t else core.upsample_linear_1d_ct(f, t)
+          for f in feats]
+    want = ctx.conv2d("final_layer1",
+                      _tokens_to_map(up, b, spec.pe_h, spec.pe_w), padding=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
