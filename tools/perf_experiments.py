@@ -507,18 +507,15 @@ def exp_fused_mlp_enc(batch, iters):
 
 
 def exp_fused_attn(batch, iters):
-    """Flagship eval forward, interleaved 3-way: fused-attention kernel
-    (q/k/v+scores+att@v in VMEM) vs the round-2 fused-QKV kernel + XLA
-    attention tail vs plain XLA."""
+    """Flagship eval forward, interleaved: fused-attention kernel
+    (q/k/v+scores+att@v in VMEM) vs plain XLA.  (The 3-way vs the deleted
+    round-2 fused-QKV kernel measured a wash: -0.26 ms avg, see STATUS.md.)"""
     import jax
     import jax.numpy as jnp
 
-    from otpose_tpu.models import blocks
     from otpose_tpu.models.core import Ctx
     from otpose_tpu.models.otpose import (OTPoseSpec, init_otpose,
                                           otpose_forward, prepare_eval_params)
-    from otpose_tpu.ops.pallas import fused_attn as fattn
-    from otpose_tpu.ops.pallas.fused_qkv import fused_qkv_block_ct
     from otpose_tpu.utils.testing import flagship_otpose_cfg
 
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -530,65 +527,26 @@ def exp_fused_attn(batch, iters):
                     jnp.float32)
     margin = jnp.ones((batch, 4), jnp.float32)
 
-    real_block = fattn.fused_attn_block_ct
-
-    def old_qkv_block(ctx, xx, n_head):
-        # round-2 organization: fused QKV kernel, attention in XLA; returns
-        # the pre-scramble out so the shared block tail applies unchanged
-        q, k, v = fused_qkv_block_ct(ctx, xx)
-        b, c, t = q.shape
-        hs = c // n_head
-        import numpy as _np
-        scale = 1.0 / _np.sqrt(hs)
-        from otpose_tpu.models import core as _core
-        qh = q.reshape(b, n_head, hs, t)
-        kh = k.reshape(b, n_head, hs, t)
-        vh = v.reshape(b, n_head, hs, t)
-        att = jnp.einsum("bhct,bhdt->bhcd", qh * scale, kh,
-                         preferred_element_type=_core._preferred(q.dtype),
-                         precision=_core._mxu_precision(q.dtype)
-                         ).astype(jnp.float32)
-        att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
-        att = (att / jnp.sum(att, axis=-1, keepdims=True)).astype(q.dtype)
-        out = jnp.einsum("bhcd,bhdt->bhct", att, vh,
-                         preferred_element_type=_core._preferred(q.dtype),
-                         precision=_core._mxu_precision(q.dtype)
-                         ).astype(q.dtype)
-        return out.reshape(b, c, t)
-
-    def make(fused, block_impl=None):
+    def make(fused):
         def f(params, state, x, margin):
-            if block_impl is not None:
-                fattn.fused_attn_block_ct = block_impl
-            try:
-                ctx = Ctx(params, state, train=False, compute_dtype=dt,
-                          fused=fused)
-                return otpose_forward(ctx, x, margin, spec)[0]
-            finally:
-                fattn.fused_attn_block_ct = real_block
+            ctx = Ctx(params, state, train=False, compute_dtype=dt,
+                      fused=fused)
+            return otpose_forward(ctx, x, margin, spec)[0]
         return jax.jit(f)
 
-    f_new = make(True)
-    f_old = make(True, old_qkv_block)
-    f_xla = make(False)
+    f_new, f_xla = make(True), make(False)
     o_new = f_new(params, state, x, margin)
-    o_old = f_old(params, state, x, margin)
     o_xla = f_xla(params, state, x, margin)
-    print("maxdiff new vs xla:",
+    print("maxdiff fused vs xla:",
           float(jnp.max(jnp.abs(o_new.astype(jnp.float32)
                                 - o_xla.astype(jnp.float32)))))
-    print("maxdiff new vs old:",
-          float(jnp.max(jnp.abs(o_new.astype(jnp.float32)
-                                - o_old.astype(jnp.float32)))))
-    for f in (f_new, f_old, f_xla):
+    for f in (f_new, f_xla):
         timeit(f, (params, state, x, margin), 3)
     for r in range(4):
         mn = timeit(f_new, (params, state, x, margin), iters) * 1e3
-        mo = timeit(f_old, (params, state, x, margin), iters) * 1e3
         mx = timeit(f_xla, (params, state, x, margin), iters) * 1e3
-        print(f"round {r}: attn-fused {mn:7.2f} ms   qkv-fused {mo:7.2f} ms"
-              f"   xla {mx:7.2f} ms   new-vs-old {mo - mn:+6.2f} ms",
-              flush=True)
+        print(f"round {r}: attn-fused {mn:7.2f} ms   xla {mx:7.2f} ms   "
+              f"delta {mx - mn:+6.2f} ms", flush=True)
 
 
 def exp_final_commute(batch, iters):

@@ -2,7 +2,7 @@
 
 A k=3 depthwise conv along the lane axis needs +-1-token shifted views;
 pltpu.roll rejects bf16 ("Rotate with non-32-bit data"), so this probes the
-alternatives used by ops/pallas/fused_qkv.py.  Run: python tools/probe_shift.py
+alternatives used by ops/pallas/fused_attn.py.  Run: python tools/probe_shift.py
 """
 
 import sys
