@@ -596,6 +596,120 @@ def exp_final_commute(batch, iters):
               f"delta {mb - ma:+6.2f} ms", flush=True)
 
 
+def exp_deform_layout(batch, iters):
+    """Deform stage only, flagship shape: shipped tap_body vs dot-native
+    tent layouts (wx generated as (b,g,w,p); accumulator (b,o,p); v2 also
+    generates wy as (b,g,y,p))."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from otpose_tpu.ops.deform_conv import modulated_deform_conv_multi
+
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    rng = np.random.RandomState(0)
+    b, h, w, g = batch, 96, 72, 17
+    k2, kernel = 9, 3
+    dils = (3, 6, 9, 12, 15)
+    d = len(dils)
+    p = h * w
+    x = jnp.asarray(rng.randn(b, h, w, g), dt)
+    offs = [jnp.asarray(rng.randn(b, h, w, g * 2 * k2) * 2, jnp.float32)
+            for _ in range(d)]
+    msks = [jnp.asarray(rng.randn(b, h, w, g * k2), jnp.float32)
+            for _ in range(d)]
+    weights = jnp.asarray(rng.randn(d, kernel, kernel, g, g) * 0.1, jnp.float32)
+    biases = jnp.asarray(rng.randn(d, g) * 0.1, jnp.float32)
+
+    f32 = jnp.float32
+
+    def make_variant(gen_wy_t):
+        def run(x, offs, msks, weights, biases):
+            cd = x.dtype
+            ys = jnp.arange(h, dtype=f32)
+            xs = jnp.arange(w, dtype=f32)
+            base_y = jnp.broadcast_to(ys[:, None], (h, w)).reshape(p)
+            base_x = jnp.broadcast_to(xs[None, :], (h, w)).reshape(p)
+            off = jnp.stack([o.reshape(b, p, g, k2, 2) for o in offs]).astype(f32)
+            # mask pre-transposed to (d, b, g, k2, p) once
+            msk = jnp.stack([m.reshape(b, p, g, k2).transpose(0, 2, 3, 1)
+                             for m in msks]).astype(cd)
+            wk = weights.reshape(d, k2, g, 1, g).astype(cd)
+            ki = np.arange(k2)
+            tap_table = np.zeros((d * k2, 2), np.float32)
+            for di, dil in enumerate(dils):
+                tap_table[di * k2:(di + 1) * k2, 0] = (ki // kernel) * dil - dil
+                tap_table[di * k2:(di + 1) * k2, 1] = (ki % kernel) * dil - dil
+            tap_tab = jnp.asarray(tap_table)
+            iota_h = jnp.arange(h, dtype=f32)
+            iota_w = jnp.arange(w, dtype=f32)
+            xg1 = x.reshape(b, p // w, w, g, 1)[..., 0].reshape(b, h, w, g)
+            preferred = f32 if cd == f32 else cd
+
+            def tap_body(acc, i):
+                di = i // k2
+                k = i % k2
+                # (b, g, p) sample coords
+                syt = (base_y[None, None, :] + tap_tab[i, 0]
+                       + off[di, :, :, :, k, 0].transpose(0, 2, 1))
+                sxt = (base_x[None, None, :] + tap_tab[i, 1]
+                       + off[di, :, :, :, k, 1].transpose(0, 2, 1))
+                if gen_wy_t:
+                    # wy directly in the dot-native (b, g, y, p) layout
+                    wy = jnp.maximum(
+                        1.0 - jnp.abs(syt[:, :, None, :] - iota_h[:, None]),
+                        0.0).astype(cd)
+                    a = jnp.einsum("bywg,bgyp->bgwp", xg1.astype(cd), wy,
+                                   preferred_element_type=preferred)
+                else:
+                    wy = jnp.maximum(
+                        1.0 - jnp.abs(syt[..., None] - iota_h), 0.0
+                    ).astype(cd)  # (b, g, p, y)
+                    a = jnp.einsum("bgpy,bywg->bgwp", wy, xg1.astype(cd),
+                                   preferred_element_type=preferred)
+                # wx in (b, g, w, p): multiply-reduce with a needs no
+                # transpose of the big tensors
+                wx = jnp.maximum(
+                    1.0 - jnp.abs(sxt[:, :, None, :] - iota_w[:, None]),
+                    0.0).astype(cd)
+                sampled = jnp.sum(a * wx, axis=2)          # (b, g, p)
+                sampled = sampled * msk[di, :, :, k]
+                acc = acc + jnp.einsum(
+                    "bgp,go->bop", sampled, wk[di, k, :, 0],
+                    preferred_element_type=preferred).astype(f32)
+                return acc, None
+
+            out0 = jnp.zeros((b, g, p), f32)
+            out, _ = lax.scan(jax.checkpoint(tap_body), out0,
+                              jnp.arange(d * k2))
+            out = out / d + jnp.mean(biases.astype(f32), axis=0)[:, None]
+            return out.transpose(0, 2, 1).reshape(b, h, w, g).astype(x.dtype)
+        return jax.jit(run)
+
+    def shipped(x, offs, msks, weights, biases):
+        return modulated_deform_conv_multi(
+            x, offs, msks, weights, biases, kernel=kernel, stride=1,
+            padding_list=dils, dilation_list=dils, deformable_groups=g)
+
+    f0 = jax.jit(shipped)
+    f1 = make_variant(False)
+    f2 = make_variant(True)
+    args = (x, offs, msks, weights, biases)
+    o0, o1, o2 = f0(*args), f1(*args), f2(*args)
+    print("maxdiff v1 vs shipped:",
+          float(jnp.max(jnp.abs(o1.astype(f32) - o0.astype(f32)))))
+    print("maxdiff v2 vs shipped:",
+          float(jnp.max(jnp.abs(o2.astype(f32) - o0.astype(f32)))))
+    for f in (f0, f1, f2):
+        timeit(f, args, 3)
+    for r in range(4):
+        m0 = timeit(f0, args, iters) * 1e3
+        m1 = timeit(f1, args, iters) * 1e3
+        m2 = timeit(f2, args, iters) * 1e3
+        print(f"round {r}: shipped {m0:7.2f} ms   v1 {m1:7.2f} ms   "
+              f"v2 {m2:7.2f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default="hrnet_bn")
