@@ -54,7 +54,7 @@ class Eval(RunBase):
         if self.use_decoded:
             self.eval_fn = make_decoded_eval_step(
                 self.spec, compute_dtype=compute_dtype, flip=self.flip,
-                seq_axis=self.seq_axis)
+                seq_axis=self.seq_axis, mesh=self.mesh)
         elif self.flip:
             self.eval_fn = make_flip_eval_step(self.spec,
                                                compute_dtype=compute_dtype,

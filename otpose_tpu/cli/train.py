@@ -77,7 +77,8 @@ class Train(RunBase):
         # per box, not full heatmaps) — equivalence-tested vs evaluate_epoch
         self.eval_fn = make_decoded_eval_step(self.spec,
                                               compute_dtype=compute_dtype,
-                                              seq_axis=self.seq_axis)
+                                              seq_axis=self.seq_axis,
+                                              mesh=self.mesh)
 
         self.tb_writer = None
         try:

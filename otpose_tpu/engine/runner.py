@@ -49,11 +49,13 @@ class AverageMeter:
 
 
 def make_flip_eval_step(spec, *, compute_dtype=jnp.float32,
-                        seq_axis=None, fused=None):
+                        seq_axis=None, fused=None, jit=True):
     """Eval forward with horizontal flip-test averaging.
 
     Flips the 5-frame input stack, runs the model, unflips the heatmaps and
     swaps left/right joint channels, then averages with the direct pass.
+    ``jit=False`` returns the plain function (for nesting inside shard_map,
+    see ``trainer.make_decoded_eval_step``).
     """
     pairs = np.asarray(FLIP_PAIRS)
     perm = np.arange(spec.num_joints)
@@ -77,7 +79,7 @@ def make_flip_eval_step(spec, *, compute_dtype=jnp.float32,
         bsz = batch["inputs"].shape[0]
         return (heat + heat_f) * 0.5, out[1][:bsz]
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
 def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,

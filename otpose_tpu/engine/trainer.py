@@ -123,7 +123,8 @@ def make_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
 def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
                            flip: bool = False,
                            seq_axis: str | None = None,
-                           fused: bool | None = None) -> Callable:
+                           fused: bool | None = None,
+                           mesh=None) -> Callable:
     """jit'd eval forward + on-device decode.
 
     Returns (refined_coords (B, J, 2), maxvals (B, J, 1),
@@ -131,26 +132,67 @@ def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
     box instead of fetching full heatmaps (ref decode: utils/heatmap.py:108-140;
     the reference pulls heatmaps to host and decodes per box in numpy,
     script/Common.py:419-432).
+
+    ``mesh``: with a multi-device data-parallel mesh (and no sequence
+    sharding), the step is wrapped in ``shard_map`` over the ``data`` axis
+    so each chip runs its batch shard independently — eval has no
+    cross-batch ops (BN uses running stats), and per-device execution lets
+    the Pallas fused kernels run under the mesh (plain jit disables them:
+    the GSPMD partitioner has no sharding rule for the custom calls).
+    Batches not divisible by the data-axis size dispatch to a plain-jit
+    fallback (the eval loader doesn't drop_last).
     """
     from otpose_tpu.ops.heatmap import get_max_preds_device, refine_coords_device
 
-    if flip:
-        from otpose_tpu.engine.runner import make_flip_eval_step
+    def build_step(fused_flag):
+        if flip:
+            from otpose_tpu.engine.runner import make_flip_eval_step
 
-        fwd = make_flip_eval_step(spec, compute_dtype=compute_dtype,
-                                  seq_axis=seq_axis, fused=fused)
-    else:
-        fwd = make_eval_step(spec, compute_dtype=compute_dtype,
-                             seq_axis=seq_axis, fused=fused)
+            fwd = make_flip_eval_step(spec, compute_dtype=compute_dtype,
+                                      seq_axis=seq_axis, fused=fused_flag,
+                                      jit=False)
+        else:
+            def fwd(params, model_state, batch):
+                ctx = Ctx(params, model_state, train=False,
+                          compute_dtype=compute_dtype, seq_axis=seq_axis,
+                          fused=fused_flag)
+                out = otpose_forward(ctx, batch["inputs"], batch["margin"],
+                                     spec)
+                bsz = batch["inputs"].shape[0]
+                return out[0], out[1][:bsz]
 
-    def step(params, model_state, batch):
-        heat, _teacher = fwd(params, model_state, batch)
-        heat_nchw = heat.transpose(0, 3, 1, 2)
-        coords, maxvals = refine_coords_device(heat_nchw)
-        raw_coords, _ = get_max_preds_device(heat_nchw)
-        return coords, maxvals, raw_coords
+        def step(params, model_state, batch):
+            heat, _teacher = fwd(params, model_state, batch)
+            heat_nchw = heat.transpose(0, 3, 1, 2)
+            coords, maxvals = refine_coords_device(heat_nchw)
+            raw_coords, _ = get_max_preds_device(heat_nchw)
+            return coords, maxvals, raw_coords
 
-    return jax.jit(step)
+        return step
+
+    data_n = 0
+    if mesh is not None and seq_axis is None:
+        data_n = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 0)
+    fused_eff = fused if fused is not None \
+        else jax.default_backend() == "tpu"
+    if data_n > 1 and fused_eff:
+        from jax.sharding import PartitionSpec as P
+
+        jit_sharded = jax.jit(jax.shard_map(
+            build_step(True), mesh=mesh,
+            in_specs=(P(), P(), P("data")), out_specs=P("data"),
+            check_vma=False))
+        # fallback for non-divisible (last) batches: plain jit, Ctx auto
+        # keeps the fused kernels off under the multi-device backend
+        jit_plain = jax.jit(build_step(fused))
+
+        def dispatch(params, model_state, batch):
+            if batch["inputs"].shape[0] % data_n == 0:
+                return jit_sharded(params, model_state, batch)
+            return jit_plain(params, model_state, batch)
+
+        return dispatch
+    return jax.jit(build_step(fused))
 
 
 def optax_global_norm(tree) -> jnp.ndarray:

@@ -1,0 +1,76 @@
+"""AOT serving export (engine/export.py): serialize -> reload -> exact parity.
+
+The artifact bakes the weights into the StableHLO module, so the loaded
+callable must reproduce the live eval step bit-for-bit on the same backend,
+with no otpose_tpu state passed at call time.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from otpose_tpu.engine.export import export_eval, load_exported, save_exported
+from otpose_tpu.engine.trainer import make_decoded_eval_step
+from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+from otpose_tpu.utils.testing import tiny_otpose_cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_otpose_cfg(image_size=32, heatmap_size=8)
+    spec = OTPoseSpec.from_cfg(cfg)
+    params, model_state = init_otpose(jax.random.PRNGKey(0), spec)
+    return spec, params, model_state
+
+
+def test_export_roundtrip_matches_live_step(tiny_model, tmp_path):
+    spec, params, model_state = tiny_model
+    b = 2
+    # heatmap-level artifact for numerical parity (export/reimport compiles
+    # a separate executable, so bit-exactness is not guaranteed; a random-
+    # init model's near-zero heatmaps make argmax coords tie-unstable)
+    blob = export_eval(spec, params, model_state, batch_size=b,
+                       decoded=False)
+    out_dir = save_exported(str(tmp_path / "artifact"), blob, spec,
+                            batch_size=b, compute_dtype=jnp.float32,
+                            flip=False, decoded=False)
+
+    model = load_exported(out_dir)
+    assert model.meta["batch_size"] == b
+    assert model.meta["image_size"] == [32, 32]
+
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(b, 32, 32, 15), jnp.float32)
+    margin = jnp.ones((b, 4), jnp.float32)
+
+    heat, teacher = model(inputs, margin)
+    from otpose_tpu.engine.trainer import make_eval_step
+
+    want_heat, want_teacher = make_eval_step(spec, fused=False)(
+        params, model_state, {"inputs": inputs, "margin": margin})
+    np.testing.assert_allclose(np.asarray(heat), np.asarray(want_heat),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(teacher), np.asarray(want_teacher),
+                               rtol=1e-5, atol=1e-7)
+
+    # decoded (serving) artifact: shapes/dtypes of the keypoint outputs
+    blob_d = export_eval(spec, params, model_state, batch_size=b)
+    model_d = load_exported(save_exported(
+        str(tmp_path / "artifact_decoded"), blob_d, spec, batch_size=b,
+        compute_dtype=jnp.float32, flip=False, decoded=True))
+    coords, maxvals, raw = model_d(inputs, margin)
+    j = spec.num_joints
+    assert coords.shape == (b, j, 2)
+    assert maxvals.shape == (b, j, 1)
+    assert raw.shape == (b, j, 2)
+
+
+def test_export_wrong_batch_rejected(tiny_model):
+    spec, params, model_state = tiny_model
+    blob = export_eval(spec, params, model_state, batch_size=2)
+    exported = jax.export.deserialize(blob)
+    rng = np.random.RandomState(1)
+    bad = jnp.asarray(rng.randn(3, 32, 32, 15), jnp.float32)
+    with pytest.raises(Exception):
+        exported.call(bad, jnp.ones((3, 4), jnp.float32))

@@ -291,3 +291,37 @@ def test_seq_parallel_eval_matches_single_device(setup):
         out, _ = fn(replicate(mesh, params), replicate(mesh, model_state),
                     shard_batch(mesh, batch))
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
+def test_sharded_fused_decoded_eval_matches_plain(setup):
+    """``make_decoded_eval_step(mesh=...)`` wraps the eval step in shard_map
+    over the data axis so the Pallas fused kernels run per-device (no GSPMD
+    rule exists for the custom calls under plain jit; eval is purely
+    data-parallel).  Outputs must match the plain path, and non-divisible
+    batches must dispatch to the plain-jit fallback."""
+    from otpose_tpu.engine.trainer import make_decoded_eval_step
+
+    cfg, spec, params, model_state = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    batch = _make_batch(np.random.RandomState(9), 8)
+    fwd = {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")}
+    fwd5 = {k: v[:5] for k, v in fwd.items()}
+    plain = make_decoded_eval_step(spec)
+    outs_p = plain(params, model_state, fwd)
+    outs_p5 = plain(params, model_state, fwd5)
+
+    mesh = make_mesh(cfg)
+    with jax.sharding.set_mesh(mesh):
+        sharded = make_decoded_eval_step(spec, mesh=mesh, fused=True)
+        p8 = replicate(mesh, params)
+        s8 = replicate(mesh, model_state)
+        outs_s = sharded(p8, s8, shard_batch(mesh, fwd))
+        outs_f = sharded(p8, s8, replicate(mesh, fwd5))  # fallback path
+
+    for got, want in zip(outs_s, outs_p):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+    for got, want in zip(outs_f, outs_p5):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
