@@ -22,14 +22,14 @@ import jax.numpy as jnp
 
 from otpose_tpu.config import default_parse_args
 from otpose_tpu.engine import checkpoints as ckpt
-from otpose_tpu.engine.base import Base
+from otpose_tpu.engine.base import RunBase
 from otpose_tpu.engine.export import export_eval, save_exported
 from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
 
 logger = logging.getLogger(__name__)
 
 
-class Export(Base):
+class Export(RunBase):
     def __init__(self, args):
         super().__init__("export", args=args)
         cfg = self.cfg

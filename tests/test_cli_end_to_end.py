@@ -141,3 +141,40 @@ def test_sharded_eval_matches_single_device(workspace):
                                          shard_fn=make_eval_shard_fn(mesh))
     assert map8 == pytest.approx(map1, abs=1e-6)
     assert map6 == pytest.approx(map1, abs=1e-6)
+
+
+def test_export_cli(workspace):
+    """export.py CLI: checkpoint -> serving artifact -> load with only the
+    artifact dir -> run at the exported batch size."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from otpose_tpu.config import default_parse_args
+
+    root, yaml_path = workspace
+    args = default_parse_args(["--cfg", yaml_path, "--root_dir", str(root)])
+
+    from otpose_tpu.cli.export import Export
+
+    exporter = Export(args)
+    try:
+        exporter.model_path()
+    except FileNotFoundError:
+        # standalone run: train the 1-epoch checkpoint first
+        from otpose_tpu.cli.train import Train
+
+        Train(default_parse_args(["--cfg", yaml_path,
+                                  "--root_dir", str(root)])).train()
+    out_dir = exporter.export(batch_size=2, out_dir=str(root / "artifact"))
+
+    from otpose_tpu.engine.export import load_exported
+
+    model = load_exported(out_dir)
+    assert model.meta["batch_size"] == 2
+    rng = np.random.RandomState(3)
+    coords, maxvals, raw = model(
+        jnp.asarray(rng.randn(2, 32, 32, 15), jnp.float32),
+        jnp.ones((2, 4), jnp.float32))
+    j = model.meta["num_joints"]
+    assert coords.shape == (2, j, 2)
+    assert np.isfinite(np.asarray(maxvals)).all()
