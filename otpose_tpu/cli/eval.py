@@ -103,16 +103,8 @@ class Eval(RunBase):
         (ref: eval.py:97-116)."""
         init_params, init_state = init_otpose(jax.random.PRNGKey(0), self.spec)
         blob = ckpt.restore_checkpoint(model_file)
-        params = dict(init_params)
-        model_state = dict(init_state)
-        n = 0
-        for k, v in blob["params"].items():
-            if k in params and tuple(params[k].shape) == tuple(v.shape):
-                params[k] = jnp.asarray(v)
-                n += 1
-        for k, v in blob.get("model_state", {}).items():
-            if k in model_state and tuple(model_state[k].shape) == tuple(v.shape):
-                model_state[k] = jnp.asarray(v)
+        params, model_state, n = ckpt.merge_checkpoint(blob, init_params,
+                                                       init_state)
         logger.info("=> loaded %d/%d tensors", n, len(params))
         # eval fast path (once per checkpoint, outside the step): optional
         # bf16 conv/dense weights — halves param HBM reads; norm statistics

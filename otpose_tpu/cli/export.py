@@ -56,14 +56,15 @@ class Export(RunBase):
         logger.info("=> exporting %s (batch %d)", model_file, batch_size)
         init_params, init_state = init_otpose(jax.random.PRNGKey(0), self.spec)
         blob = ckpt.restore_checkpoint(model_file)
-        params = dict(init_params)
-        model_state = dict(init_state)
-        for k, v in blob["params"].items():
-            if k in params and tuple(params[k].shape) == tuple(v.shape):
-                params[k] = jnp.asarray(v)
-        for k, v in blob.get("model_state", {}).items():
-            if k in model_state and tuple(model_state[k].shape) == tuple(v.shape):
-                model_state[k] = jnp.asarray(v)
+        params, model_state, n = ckpt.merge_checkpoint(blob, init_params,
+                                                       init_state)
+        logger.info("=> loaded %d/%d tensors", n, len(params))
+        if n == 0:
+            # an artifact bakes these weights in permanently — refuse to
+            # ship a random-init model because the cfg/checkpoint mismatch
+            raise ValueError(
+                f"checkpoint {model_file} matched 0/{len(params)} tensors "
+                f"of the configured model — wrong --cfg for this checkpoint?")
 
         compute_dtype = jnp.bfloat16 \
             if self.cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32

@@ -130,6 +130,31 @@ def restore_checkpoint(path: str, template=None):
     return ckptr.restore(path)
 
 
+def merge_checkpoint(blob, init_params, init_state):
+    """Merge a restored checkpoint blob into fresh init dicts, key-by-key
+    with shape gating (tolerates partial/legacy checkpoints the way the
+    reference's ``load_state_dict(strict=False)`` does).
+
+    Returns ``(params, model_state, n_loaded)`` — callers should surface
+    ``n_loaded`` (eval/export CLIs log it; a 0 means the checkpoint matches
+    nothing and must be treated as an error by anything that bakes the
+    result into an artifact).
+    """
+    import jax.numpy as jnp
+
+    params = dict(init_params)
+    model_state = dict(init_state)
+    n = 0
+    for k, v in blob["params"].items():
+        if k in params and tuple(params[k].shape) == tuple(v.shape):
+            params[k] = jnp.asarray(v)
+            n += 1
+    for k, v in blob.get("model_state", {}).items():
+        if k in model_state and tuple(model_state[k].shape) == tuple(v.shape):
+            model_state[k] = jnp.asarray(v)
+    return params, model_state, n
+
+
 def resume(folder: str, train_state):
     """Auto-resume from the latest epoch checkpoint (ref: checkpoints.py:6-25,
     train.py:101-110). Returns (train_state, begin_epoch, tb_steps)."""

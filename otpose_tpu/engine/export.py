@@ -33,9 +33,13 @@ _META_NAME = "otpose_export.json"
 _BLOB_NAME = "otpose_eval.stablehlo"
 
 
+_DEFAULT_PLATFORMS = ("cpu", "tpu")
+
+
 def export_eval(spec: OTPoseSpec, params, model_state, *, batch_size: int,
                 compute_dtype=jnp.float32, flip: bool = False,
-                decoded: bool = True, bf16_params: bool = False):
+                decoded: bool = True, bf16_params: bool = False,
+                platforms=_DEFAULT_PLATFORMS):
     """Serialize the eval step to StableHLO bytes with weights baked in.
 
     The exported callable takes ``(inputs (B, H, W, 15) f32,
@@ -43,6 +47,11 @@ def export_eval(spec: OTPoseSpec, params, model_state, *, batch_size: int,
     ``(coords (B, J, 2), maxvals (B, J, 1), raw_coords (B, J, 2))`` when
     ``decoded`` (the serving path), else the raw
     ``(heatmaps (B, Hh, Hw, J), teacher)``.
+
+    ``platforms``: lowering targets baked into the artifact (default cpu +
+    tpu) — without multi-platform lowering, jax.export pins the artifact to
+    the exporting process's backend and a replica on any other backend
+    refuses to load it.
     """
     if bf16_params:
         params = prepare_eval_params(params, param_dtype=jnp.bfloat16)
@@ -60,13 +69,14 @@ def export_eval(spec: OTPoseSpec, params, model_state, *, batch_size: int,
 
     args = (jax.ShapeDtypeStruct((batch_size, h, w, 15), jnp.float32),
             jax.ShapeDtypeStruct((batch_size, 4), jnp.float32))
-    exported = jax.export.export(jax.jit(serve))(*args)
+    exported = jax.export.export(jax.jit(serve),
+                                 platforms=list(platforms))(*args)
     return exported.serialize()
 
 
 def save_exported(out_dir: str, blob: bytes, spec: OTPoseSpec, *,
                   batch_size: int, compute_dtype, flip: bool,
-                  decoded: bool) -> str:
+                  decoded: bool, platforms=_DEFAULT_PLATFORMS) -> str:
     """Write the artifact dir: the StableHLO blob + a json manifest."""
     import os
 
@@ -82,6 +92,7 @@ def save_exported(out_dir: str, blob: bytes, spec: OTPoseSpec, *,
         "heatmap_size": [spec.pe_w, spec.pe_h],
         "image_size": [spec.pe_w * 4, spec.pe_h * 4],
         "jax_version": jax.__version__,
+        "platforms": list(platforms),
     }
     with open(osp.join(out_dir, _META_NAME), "w") as f:
         json.dump(meta, f, indent=2)

@@ -182,9 +182,12 @@ def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
             build_step(True), mesh=mesh,
             in_specs=(P(), P(), P("data")), out_specs=P("data"),
             check_vma=False))
-        # fallback for non-divisible (last) batches: plain jit, Ctx auto
-        # keeps the fused kernels off under the multi-device backend
-        jit_plain = jax.jit(build_step(fused))
+        # fallback for non-divisible (last) batches: plain jit with Ctx
+        # auto (fused=None), which keeps the Pallas kernels OFF under a
+        # multi-device backend — passing the caller's fused=True through
+        # would put the custom calls inside a multi-device jit, the exact
+        # no-GSPMD-rule configuration the shard_map wrapper avoids
+        jit_plain = jax.jit(build_step(None))
 
         def dispatch(params, model_state, batch):
             if batch["inputs"].shape[0] % data_n == 0:

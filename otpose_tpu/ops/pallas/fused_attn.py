@@ -59,12 +59,18 @@ from otpose_tpu.models import core
 _T_TILE = 1152
 
 
-def _pick_tile(t: int, t_tile: int) -> int:
+def _pick_tile(t: int, t_tile: int, *, lane_aligned: bool = True) -> int:
     """Largest chunk <= t_tile that divides T (whole chunks keep the halo
-    bookkeeping trivial); 0 if none exists."""
+    bookkeeping trivial); 0 if none exists.
+
+    ``lane_aligned`` enforces tt % 128 == 0 for multi-chunk grids — the
+    kernel's ``pl.multiple_of(..., 128)`` hints are only true then, and a
+    misaligned multi-chunk tile on real Mosaic would miscompile the dynamic
+    slices.  Interpreter mode (CPU tests) may relax it to exercise the halo
+    logic with small chunks."""
     if t <= t_tile:
         return t
-    if t % t_tile == 0:
+    if t % t_tile == 0 and (t_tile % 128 == 0 or not lane_aligned):
         return t_tile
     for cand in range(t_tile, 127, -128):
         if cand % 128 == 0 and t % cand == 0:
@@ -221,7 +227,7 @@ def _fused_attn_jit(x, ln1_w, ln1_b, dw_q, dw_k, dw_v,
     b, c, t = x.shape
     if c % n_head:
         raise ValueError(f"C={c} not divisible by n_head={n_head}")
-    tt = _pick_tile(t, t_tile)
+    tt = _pick_tile(t, t_tile, lane_aligned=not interpret)
     if not tt:
         raise ValueError(f"fused_attn_ct needs a chunk dividing T={t}"
                          f" (<= {t_tile}, multiple of 128)")

@@ -72,5 +72,5 @@ def test_export_wrong_batch_rejected(tiny_model):
     exported = jax.export.deserialize(blob)
     rng = np.random.RandomState(1)
     bad = jnp.asarray(rng.randn(3, 32, 32, 15), jnp.float32)
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match="(?i)shape|rank|dim"):
         exported.call(bad, jnp.ones((3, 4), jnp.float32))
