@@ -72,8 +72,9 @@ def _pick_tile(t: int, t_tile: int, *, lane_aligned: bool = True) -> int:
         return t
     if t % t_tile == 0 and (t_tile % 128 == 0 or not lane_aligned):
         return t_tile
-    for cand in range(t_tile, 127, -128):
-        if cand % 128 == 0 and t % cand == 0:
+    # snap to the 128-lane grid, then take the largest aligned divisor
+    for cand in range((t_tile // 128) * 128, 127, -128):
+        if t % cand == 0:
             return cand
     return 0
 

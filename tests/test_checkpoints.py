@@ -74,3 +74,26 @@ def test_torch_pth_import(tmp_path):
     # bare HRNet keys get prefixed; known OTPose roots pass through
     assert "rough_pose_estimation_net.conv1.weight" in mapped
     assert "final_layer1.bias" in mapped
+
+
+def test_merge_checkpoint_shape_gated():
+    """checkpoints.merge_checkpoint: key-by-key with shape gating, returns
+    the loaded count (0 must be surfaced by artifact-baking callers)."""
+    import jax.numpy as jnp
+
+    from otpose_tpu.engine.checkpoints import merge_checkpoint
+
+    init_p = {"a.weight": jnp.zeros((2, 2)), "b.weight": jnp.zeros((3,))}
+    init_s = {"a.running_mean": jnp.zeros((2,))}
+    blob = {"params": {"a.weight": jnp.ones((2, 2)),      # loads
+                       "b.weight": jnp.ones((4,)),        # shape mismatch
+                       "c.weight": jnp.ones((1,))},       # unknown key
+            "model_state": {"a.running_mean": jnp.ones((2,)),
+                            "zz": jnp.ones((1,))}}
+    params, state, n = merge_checkpoint(blob, init_p, init_s)
+    assert n == 1
+    assert float(params["a.weight"][0, 0]) == 1.0
+    assert float(params["b.weight"][0]) == 0.0          # untouched
+    assert float(state["a.running_mean"][0]) == 1.0
+    # inputs not mutated
+    assert float(init_p["a.weight"][0, 0]) == 0.0

@@ -122,3 +122,15 @@ def test_supported_shapes():
     assert fused_attn_supported(6912)      # flagship stem
     assert fused_attn_supported(96)        # tiny test shapes: single chunk
     assert not fused_attn_supported(1153 * 7)  # no 128-multiple divisor
+
+
+def test_pick_tile_lane_alignment():
+    """Multi-chunk tiles must be 128-aligned on real Mosaic (the kernel's
+    pl.multiple_of hints are only valid then); interpret mode may relax."""
+    from otpose_tpu.ops.pallas.fused_attn import _pick_tile
+
+    assert _pick_tile(6912, 1152) == 1152          # aligned divisor
+    assert _pick_tile(6912, 864) == 768            # 864 divides but !%128
+    assert _pick_tile(6912, 864, lane_aligned=False) == 864
+    assert _pick_tile(96, 96) == 96                # single chunk: any size
+    assert _pick_tile(1153 * 7, 1152) == 0         # nothing fits
