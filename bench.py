@@ -175,6 +175,11 @@ def _measure_train_e2e(batch: int, iters: int) -> float:
 
 
 def main():
+    # a dead axon relay makes backend init hang forever; prefer an honest
+    # CPU-tagged measurement over producing no JSON line at all
+    from otpose_tpu.utils.backend import ensure_live_backend
+
+    ensure_live_backend()
     import jax
 
     backend = jax.default_backend()

@@ -1,0 +1,65 @@
+"""Backend liveness guard for the axon-tunneled TPU.
+
+The axon PJRT plugin reaches the TPU through a local TCP relay (ports
+8082/8092/...).  When that relay daemon is down, the plugin does not fail:
+``import jax`` / backend init **hangs forever** waiting to dial the tunnel.
+Any unattended entry point (``bench.py``, ``__graft_entry__.py``) that hangs
+produces no artifact at all, which is strictly worse than an honest CPU
+fallback.
+
+``ensure_live_backend()`` therefore probes the relay's listen port *before*
+JAX initializes and, if the axon backend was requested but the relay is not
+listening, pins JAX to CPU.  Call it before the first ``import jax`` use in
+a process (it is a no-op once the backend is initialized, and a no-op in
+CPU-pinned processes such as the test suite).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+
+# First local listen port of the relay (/root/.tpu_init.py PORTS[0]); the
+# plugin cannot reach the chip if nothing is listening here.
+_AXON_RELAY_PORT = int(os.environ.get("AXON_RELAY_PORT", "8082"))
+
+
+def axon_relay_alive(port: int = _AXON_RELAY_PORT, timeout: float = 0.5) -> bool:
+    """True iff the axon tunnel relay accepts TCP connections on ``port``."""
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def _axon_requested() -> bool:
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms:
+        return "axon" in platforms.split(",")
+    # unset JAX_PLATFORMS with the axon plugin installed auto-selects it
+    return bool(os.environ.get("PALLAS_AXON_TPU_GEN"))
+
+
+def ensure_live_backend(verbose: bool = True) -> str:
+    """Pin JAX to CPU if the axon TPU relay is unreachable.
+
+    Returns the platform that will be used ("axon" or "cpu").  Must run
+    before the first JAX backend initialization; the axon plugin ignores
+    later changes (and ignores JAX_PLATFORMS entirely, so the fallback goes
+    through ``jax.config.update`` as CLAUDE.md documents).
+    """
+    if not _axon_requested():
+        return os.environ.get("JAX_PLATFORMS", "cpu") or "cpu"
+    if axon_relay_alive():
+        return "axon"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if verbose:
+        import sys
+
+        print("[otpose_tpu] axon TPU relay (port %d) unreachable; "
+              "falling back to CPU backend" % _AXON_RELAY_PORT,
+              file=sys.stderr)
+    return "cpu"

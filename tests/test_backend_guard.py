@@ -1,0 +1,69 @@
+"""Tests for the axon relay liveness guard (otpose_tpu/utils/backend.py)."""
+
+import socket
+import threading
+
+from otpose_tpu.utils import backend
+
+
+def test_relay_alive_detects_listener():
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def accept_loop():
+        srv.settimeout(0.2)
+        while not stop.is_set():
+            try:
+                c, _ = srv.accept()
+                c.close()
+            except OSError:
+                pass
+
+    t = threading.Thread(target=accept_loop, daemon=True)
+    t.start()
+    try:
+        assert backend.axon_relay_alive(port=port)
+    finally:
+        stop.set()
+        t.join()
+        srv.close()
+    # now closed
+    assert not backend.axon_relay_alive(port=port, timeout=0.2)
+
+
+def test_axon_requested_parsing(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert not backend._axon_requested()
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert backend._axon_requested()
+    monkeypatch.delenv("JAX_PLATFORMS")
+    monkeypatch.delenv("PALLAS_AXON_TPU_GEN", raising=False)
+    assert not backend._axon_requested()
+    monkeypatch.setenv("PALLAS_AXON_TPU_GEN", "v5e")
+    assert backend._axon_requested()
+
+
+def test_ensure_live_backend_falls_back_to_cpu(monkeypatch):
+    # axon requested but nothing listens on the probed port -> cpu pin
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(backend, "_AXON_RELAY_PORT", _free_port())
+    assert backend.ensure_live_backend(verbose=False) == "cpu"
+    import jax
+
+    assert jax.config.jax_platforms == "cpu"
+
+
+def test_ensure_live_backend_noop_when_cpu(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert backend.ensure_live_backend(verbose=False) == "cpu"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
