@@ -14,6 +14,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is jit-compile-dominated (a full run
+# recompiles ~1h of XLA programs), and cached executables load in seconds.
+# Keyed by program+topology+compile options, stored per-user outside the
+# repo.  Opt out with OTPOSE_NO_JAX_CACHE=1 (e.g. when timing cold compiles).
+# Note: XLA:CPU logs a noisy-but-benign "machine feature mismatch" line per
+# cache hit (the +prefer-no-{scatter,gather} pseudo-features never appear in
+# host feature detection); numerics are unaffected and every parity test
+# would catch a corrupt executable.
+if os.environ.get("OTPOSE_NO_JAX_CACHE") != "1":
+    _cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "otpose_tpu", "jax")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
