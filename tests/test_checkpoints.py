@@ -97,3 +97,35 @@ def test_merge_checkpoint_shape_gated():
     assert float(state["a.running_mean"][0]) == 1.0
     # inputs not mutated
     assert float(init_p["a.weight"][0, 0]) == 0.0
+
+
+def test_sharded_save_resume_roundtrip(ts, tmp_path):
+    """Multi-chip production path: a train state living on an 8-device mesh
+    (params/opt replicated jax.Arrays) must save and resume, and the resumed
+    leaves must carry the template's mesh sharding (restore goes through the
+    live train state as orbax template, engine/checkpoints.py::resume)."""
+    import dataclasses
+
+    from otpose_tpu.parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh()
+    sharded = dataclasses.replace(
+        ts,
+        params=replicate(mesh, ts.params),
+        model_state=replicate(mesh, ts.model_state),
+        opt_state=replicate(mesh, ts.opt_state),
+        step=replicate(mesh, ts.step))
+    folder = str(tmp_path / "ck_mesh")
+    ckpt.save_checkpoint(folder, 5, sharded, tensorboard_global_steps=7)
+    ts2, begin_epoch, tb = ckpt.resume(folder, sharded)
+    assert begin_epoch == 6 and tb == 7
+    leaf = ts2.params["final_layer1.weight"]
+    assert leaf.sharding.is_fully_replicated
+    assert len(leaf.sharding.device_set) == mesh.devices.size
+    np.testing.assert_array_equal(
+        np.asarray(leaf), np.asarray(ts.params["final_layer1.weight"]))
+    opt_leaves = jax.tree_util.tree_leaves(ts2.opt_state)
+    ref_leaves = jax.tree_util.tree_leaves(ts.opt_state)
+    assert len(opt_leaves) == len(ref_leaves)
+    np.testing.assert_array_equal(np.asarray(opt_leaves[0]),
+                                  np.asarray(ref_leaves[0]))
