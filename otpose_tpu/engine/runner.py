@@ -195,6 +195,8 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
         all_boxes[idx:idx + n, 5] = score
         idx += n
 
+        if cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX:
+            _vis_origin_images(cfg, output_dir, phase, metas, preds, maxvals)
         if it % cfg.PRINT_FREQ == 0:
             logger.info("%s: [%d/%d]\tTime %.3f (%.3f)\tAccuracy %.3f (%.3f)",
                         phase, it, len(loader), batch_time.val, batch_time.avg,
@@ -228,11 +230,10 @@ def _tb_image_grids(tb_writer, batch, global_steps, max_images: int = 6):
 
 
 def _dump_vis(cfg, output_dir, phase, it, batch, metas, preds_heat):
-    """Skeleton/bbox debug dumps behind DEBUG.VIS_* flags
-    (ref: script/Common.py:591-602, utils/evaluate.py:244-338)."""
+    """Crop-space skeleton/heatmap result dump behind DEBUG.VIS_* flags
+    (ref: utils/evaluate.py:244-338)."""
     import os.path as osp
 
-    from otpose_tpu.ops.bbox import cs2box
     from otpose_tpu.ops.heatmap import get_max_preds
     from otpose_tpu.utils.images import save_result_images, tensor2im
 
@@ -243,13 +244,25 @@ def _dump_vis(cfg, output_dir, phase, it, batch, metas, preds_heat):
     path = save_result_images(out_dir, img, pose[0] * stride, conf[0, :, 0],
                               heatmaps=preds_heat[0].transpose(2, 0, 1),
                               name=f"{it}_pred_")
-    if cfg.DEBUG.VIS_BBOX:
-        import cv2
+    return path
 
-        box = cs2box(metas[0]["center"], metas[0]["scale"])
-        vis = cv2.imread(path)
-        logger.debug("bbox for sample 0: %s", box)
-    return None
+
+def _vis_origin_images(cfg, output_dir, phase, metas, preds, maxvals):
+    """Accumulated skeleton/bbox overlays on the ORIGINAL frames, every
+    eval iteration (ref: script/Common.py:591-602 _after_val_iter +
+    utils/images.py:40-88).  ``preds`` are back-projected origin-image
+    coords, so boxes and joints land in the same frame."""
+    import os.path as osp
+
+    from otpose_tpu.ops.bbox import cs2box
+    from otpose_tpu.utils.images import draw_skeleton_in_origin_image
+
+    coords = np.concatenate([preds[:, :, :2], maxvals], axis=-1)
+    paths = [m["image"] for m in metas]
+    bboxes = [cs2box(m["center"], m["scale"], pattern="xyxy") for m in metas]
+    draw_skeleton_in_origin_image(
+        paths, coords, bboxes, osp.join(output_dir, f"{phase}_vis"),
+        vis_skeleton=cfg.DEBUG.VIS_SKELETON, vis_bbox=cfg.DEBUG.VIS_BBOX)
 
 
 def _print_name_value(name_value, full_arch_name):
@@ -334,6 +347,9 @@ def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
         all_boxes[idx:idx + n, 5] = score
         idx += n
 
+        if cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX:
+            _vis_origin_images(cfg, output_dir, phase, metas,
+                               all_preds[idx - n:idx], maxvals)
         if it % cfg.PRINT_FREQ == 0:
             logger.info("%s: [%d/%d]\tTime %.3f (%.3f)\tAccuracy %.3f (%.3f)",
                         phase, it, len(loader), batch_time.val, batch_time.avg,

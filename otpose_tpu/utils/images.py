@@ -57,6 +57,64 @@ def draw_skeleton(image: np.ndarray, pose: np.ndarray,
     return img
 
 
+def draw_bbox(image: np.ndarray, bbox, color=(0, 255, 0),
+              label: Optional[str] = None,
+              thickness: Optional[int] = None) -> np.ndarray:
+    """Draw an xyxy box (+ optional label) on a BGR image
+    (ref: utils/bbox.py:58-94 add_bbox_in_image)."""
+    import cv2
+
+    x1, y1, x2, y2 = map(int, bbox)
+    if thickness is None:
+        thickness = round(0.002 * (image.shape[0] + image.shape[1]) / 2) + 1
+    out = cv2.rectangle(image, (x1, y1), (x2, y2), color,
+                        thickness=thickness, lineType=cv2.LINE_AA)
+    if label:
+        ft = max(thickness - 1, 1)
+        cv2.putText(out, label, (x1, max(y1 - 2, 0)), 0, ft / 3,
+                    (225, 255, 255), thickness=ft, lineType=cv2.LINE_AA)
+    return out
+
+
+def draw_skeleton_in_origin_image(image_paths: Sequence[str],
+                                  batch_coords, batch_bboxes,
+                                  save_dir: str, *, vis_skeleton: bool = True,
+                                  vis_bbox: bool = True,
+                                  sure_threshold: float = 0.2) -> list:
+    """Accumulate per-person skeleton/bbox overlays onto the ORIGINAL frames
+    (ref: utils/images.py:40-88): each call re-reads the frame previously
+    written under ``save_dir`` (if any) so every person lands on one image.
+
+    ``batch_coords``: (N, J, 3) keypoints in origin-image coordinates with
+    confidence; ``batch_bboxes``: xyxy per person.  Output subdir mirrors the
+    reference naming: skeleton/ bbox/ SkeletonAndBbox/.
+    """
+    import cv2
+
+    sub = ("SkeletonAndBbox" if (vis_skeleton and vis_bbox)
+           else "bbox" if vis_bbox else "skeleton")
+    written = []
+    for path, coords, box in zip(image_paths, batch_coords, batch_bboxes):
+        coords = np.asarray(coords)
+        # keep the frame's path structure below the dataset's images/ root
+        # (reference slices after "images/"; fall back to the basename)
+        marker = "images" + os.sep
+        rel = path.split(marker, 1)[1] if marker in path else osp.basename(path)
+        out_path = osp.join(save_dir, sub, rel)
+        os.makedirs(osp.dirname(out_path), exist_ok=True)
+        img = cv2.imread(out_path) if osp.exists(out_path) else cv2.imread(path)
+        if img is None:
+            continue
+        if vis_skeleton:
+            img = draw_skeleton(img, coords[:, :2], coords[:, 2],
+                                vis_thre=sure_threshold)
+        if vis_bbox:
+            img = draw_bbox(img, box)
+        cv2.imwrite(out_path, img)
+        written.append(out_path)
+    return written
+
+
 def heatmaps_overlay(image: np.ndarray, heatmaps: np.ndarray) -> np.ndarray:
     """Sum-of-heatmaps jet overlay for debugging dumps
     (ref: utils/evaluate.py:244-338)."""

@@ -83,3 +83,77 @@ def test_runner_debug_vis_branches(tmp_path):
     _tb_image_grids(tb, batch, global_steps=0)
     tags = [t for t, _ in tb.calls]
     assert "train/input_images" in tags and "train/gt_heatmaps" in tags
+
+
+def test_draw_bbox_and_origin_image_accumulation(tmp_path):
+    """draw_skeleton_in_origin_image overlays accumulate across calls on the
+    SAME original frame (ref: utils/images.py:40-88 re-reads the written
+    file), and the subdir mirrors the reference naming."""
+    from otpose_tpu.utils.images import draw_bbox, draw_skeleton_in_origin_image
+
+    img_root = tmp_path / "data" / "images" / "val" / "v001"
+    os.makedirs(img_root)
+    frame = str(img_root / "00000001.jpg")
+    cv2.imwrite(frame, np.full((64, 64, 3), 255, np.uint8))
+
+    out = draw_bbox(np.zeros((32, 32, 3), np.uint8), (4, 4, 20, 20),
+                    label="p0")
+    assert out.sum() > 0
+
+    save_dir = str(tmp_path / "vis")
+    coords = np.zeros((1, 17, 3))
+    coords[0, :, 0] = np.linspace(8, 56, 17)   # x
+    coords[0, :, 1] = np.linspace(8, 56, 17)   # y
+    coords[0, :, 2] = 1.0                      # confident
+    # person 1
+    w1 = draw_skeleton_in_origin_image([frame], coords,
+                                       [(4, 4, 30, 30)], save_dir)
+    assert len(w1) == 1
+    assert osp.join("SkeletonAndBbox", "val", "v001") in w1[0]
+    after_one = cv2.imread(w1[0]).astype(np.int64)
+    # person 2 accumulates on the same output frame
+    coords2 = coords.copy()
+    coords2[0, :, 0] = 60 - coords[0, :, 0]
+    w2 = draw_skeleton_in_origin_image([frame], coords2,
+                                       [(30, 30, 60, 60)], save_dir)
+    assert w2 == w1
+    after_two = cv2.imread(w2[0]).astype(np.int64)
+    assert np.abs(after_two - after_one).sum() > 0  # second overlay landed
+
+    # skeleton-only / bbox-only select the reference's subdir names
+    w3 = draw_skeleton_in_origin_image([frame], coords, [(0, 0, 1, 1)],
+                                       save_dir, vis_bbox=False)
+    assert osp.sep + "skeleton" + osp.sep in w3[0]
+    w4 = draw_skeleton_in_origin_image([frame], coords, [(0, 0, 1, 1)],
+                                       save_dir, vis_skeleton=False)
+    assert osp.sep + "bbox" + osp.sep in w4[0]
+
+
+def test_vis_origin_images_runner_hook(tmp_path):
+    """_vis_origin_images back-projects through cs2box and writes overlays
+    for every sample in the batch (ref: script/Common.py:591-602)."""
+    from otpose_tpu.config import get_cfg
+    from otpose_tpu.engine.runner import _vis_origin_images
+
+    img_root = tmp_path / "images" / "val" / "v002"
+    os.makedirs(img_root)
+    frames = []
+    for i in range(2):
+        f = str(img_root / f"0000000{i}.jpg")
+        cv2.imwrite(f, np.full((48, 48, 3), 200, np.uint8))
+        frames.append(f)
+
+    rng = np.random.RandomState(3)
+    metas = [{"center": np.array([24.0, 24.0]), "scale": np.array([0.2, 0.2]),
+              "image": frames[i]} for i in range(2)]
+    preds = rng.rand(2, 17, 3) * 40
+    maxvals = np.ones((2, 17, 1))
+
+    cfg = get_cfg()
+    cfg.DEBUG.VIS_SKELETON = True
+    cfg.DEBUG.VIS_BBOX = True
+    _vis_origin_images(cfg, str(tmp_path / "out"), "validate", metas,
+                       preds, maxvals)
+    written_root = tmp_path / "out" / "validate_vis" / "SkeletonAndBbox"
+    found = [osp.join(r, f) for r, _, fs in os.walk(written_root) for f in fs]
+    assert len(found) == 2
