@@ -20,6 +20,7 @@ from otpose_tpu.data.posetrack import PoseTrackDataset
 from otpose_tpu.engine import checkpoints as ckpt
 from otpose_tpu.engine.base import RunBase
 from otpose_tpu.engine.optim import make_optimizer, make_schedule
+from otpose_tpu.engine.preempt import PreemptionGuard
 from otpose_tpu.engine.runner import evaluate_epoch_decoded, train_epoch
 from otpose_tpu.engine.trainer import (init_train_state, make_decoded_eval_step,
                                        make_train_step)
@@ -113,12 +114,15 @@ class Train(RunBase):
 
     def train(self):
         cfg = self.cfg
-        begin_epoch, tb_steps = 0, 0
-        self.train_state, begin_epoch, tb_steps = ckpt.resume(
+        self.train_state, begin_epoch, tb_steps, start_it = ckpt.resume(
             self.checkpoints_save_folder, self.train_state)
-        if begin_epoch:
-            logger.info("=> resumed from epoch %d", begin_epoch)
+        if begin_epoch or start_it:
+            logger.info("=> resumed from epoch %d (iteration %d)",
+                        begin_epoch, start_it)
 
+        # graceful preemption: first SIGTERM checkpoints the exact iteration
+        # at the next step boundary and exits 0 (engine/preempt.py)
+        guard = PreemptionGuard().install()
         sigma_schedule = list(getattr(self.args, "sigma_schedule", []) or [])
         best_map = -1.0
         for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
@@ -126,11 +130,25 @@ class Train(RunBase):
                 self.train_dataset.sigma = adjust_sigma(
                     epoch, cfg.MODEL.SIGMA, sigma_schedule)
             self.loader.set_epoch(epoch)
-            self.train_state, tb_steps = train_epoch(
+            self.train_state, tb_steps, done_it = train_epoch(
                 self.step_fn, self.train_state, self.loader, epoch, cfg,
                 rng=jax.random.fold_in(self.rng, epoch),
                 tb_writer=self.tb_writer, global_steps=tb_steps,
-                shard_fn=lambda b: shard_batch(self.mesh, b))
+                shard_fn=lambda b: shard_batch(self.mesh, b),
+                start_iteration=start_it if epoch == begin_epoch else 0,
+                should_stop=lambda: guard.requested)
+            if guard.requested:
+                # iteration=0 when the epoch happened to finish: resume
+                # continues at epoch+1 (engine/checkpoints.py semantics)
+                it_arg = 0 if done_it >= len(self.loader) else done_it
+                ckpt.save_checkpoint(self.checkpoints_save_folder, epoch,
+                                     self.train_state,
+                                     tensorboard_global_steps=tb_steps,
+                                     iteration=it_arg)
+                logger.info("=> preempted: checkpointed epoch %d at "
+                            "iteration %d/%d; exiting cleanly",
+                            epoch, done_it, len(self.loader))
+                return self.train_state
             if epoch % cfg.TRAIN.SAVE_MODEL_PER_EPOCH == 0:
                 ckpt.save_checkpoint(self.checkpoints_save_folder, epoch,
                                      self.train_state,

@@ -36,6 +36,7 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        self._start_iteration = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -45,6 +46,13 @@ class Loader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def set_start_iteration(self, k: int):
+        """Skip the first ``k`` batches of the NEXT iteration pass only
+        (iteration-exact preemption resume).  Exact because both the epoch
+        shuffle and the per-sample augmentation RNG are index-keyed, not
+        sequence-keyed — skipped batches consume no randomness."""
+        self._start_iteration = int(k)
 
     def _index_batches(self):
         n = len(self.dataset)
@@ -56,7 +64,8 @@ class Loader:
                    for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
-        return batches
+        start, self._start_iteration = self._start_iteration, 0
+        return batches[start:]
 
     def __iter__(self) -> Iterator:
         batches = self._index_batches()

@@ -24,8 +24,13 @@ def _checkpointer():
 
 
 def save_checkpoint(folder: str, epoch: int, train_state, *,
-                    tensorboard_global_steps: int = 0):
-    """-> ``{folder}/epoch_{N}_state`` (ref: model/checkpoints.py:28-44)."""
+                    tensorboard_global_steps: int = 0, iteration: int = 0):
+    """-> ``{folder}/epoch_{N}_state`` (ref: model/checkpoints.py:28-44).
+
+    ``iteration > 0`` marks a mid-epoch (preemption) checkpoint: resume
+    restarts the SAME epoch and skips its first ``iteration`` batches
+    (engine/preempt.py); ``iteration == 0`` keeps the reference semantics
+    (epoch complete, resume at epoch+1)."""
     os.makedirs(folder, exist_ok=True)
     path = osp.abspath(osp.join(folder, f"epoch_{epoch}_state"))
     payload = {
@@ -34,8 +39,9 @@ def save_checkpoint(folder: str, epoch: int, train_state, *,
         "opt_state": train_state.opt_state,
         "step": train_state.step,
         "meta": {
-            "begin_epoch": np.asarray(epoch + 1),
+            "begin_epoch": np.asarray(epoch if iteration else epoch + 1),
             "tensorboard_global_steps": np.asarray(tensorboard_global_steps),
+            "iteration": np.asarray(iteration),
         },
     }
     ckptr = _checkpointer()
@@ -157,23 +163,34 @@ def merge_checkpoint(blob, init_params, init_state):
 
 def resume(folder: str, train_state):
     """Auto-resume from the latest epoch checkpoint (ref: checkpoints.py:6-25,
-    train.py:101-110). Returns (train_state, begin_epoch, tb_steps)."""
+    train.py:101-110).
+    Returns (train_state, begin_epoch, tb_steps, start_iteration);
+    start_iteration > 0 means begin_epoch was interrupted mid-way and its
+    first ``start_iteration`` batches are already in the state."""
     latest = get_latest_checkpoint(folder)
     if latest is None:
-        return train_state, 0, 0
+        return train_state, 0, 0, 0
     template = {
         "params": dict(train_state.params),
         "model_state": dict(train_state.model_state),
         "opt_state": train_state.opt_state,
         "step": train_state.step,
         "meta": {"begin_epoch": np.asarray(0),
-                 "tensorboard_global_steps": np.asarray(0)},
+                 "tensorboard_global_steps": np.asarray(0),
+                 "iteration": np.asarray(0)},
     }
-    blob = restore_checkpoint(latest, template)
+    try:
+        blob = restore_checkpoint(latest, template)
+    except Exception:
+        # pre-iteration-format checkpoint: retry with the legacy meta layout
+        template["meta"].pop("iteration")
+        blob = restore_checkpoint(latest, template)
+        blob["meta"]["iteration"] = 0
     import dataclasses
 
     ts = dataclasses.replace(train_state, params=blob["params"],
                              model_state=blob["model_state"],
                              opt_state=blob["opt_state"], step=blob["step"])
-    return ts, int(blob["meta"]["begin_epoch"]), int(
-        blob["meta"]["tensorboard_global_steps"])
+    return (ts, int(blob["meta"]["begin_epoch"]),
+            int(blob["meta"]["tensorboard_global_steps"]),
+            int(blob["meta"]["iteration"]))

@@ -84,9 +84,17 @@ def make_flip_eval_step(spec, *, compute_dtype=jnp.float32,
 
 def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
                 rng: jax.Array, tb_writer=None, global_steps: int = 0,
-                shard_fn=None) -> tuple:
+                shard_fn=None, start_iteration: int = 0,
+                should_stop=None) -> tuple:
     """One training epoch (ref: script/Common.py:79-294).
-    Returns (train_state, global_steps)."""
+    Returns (train_state, global_steps, completed_iterations).
+
+    ``start_iteration`` resumes mid-epoch (preemption recovery): the loader
+    skips the first k batches — exact, since all RNG streams are index-keyed
+    — and ``global_steps`` must already account for them.  ``should_stop``
+    (e.g. ``lambda: guard.requested``) is checked at iteration boundaries;
+    when it fires the epoch returns early and ``completed_iterations`` tells
+    the caller what to checkpoint."""
     batch_time = AverageMeter()
     data_time = AverageMeter()
     acc_meter = AverageMeter()
@@ -94,7 +102,10 @@ def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
 
     end = time.time()
     max_iter = len(loader)
-    for it, (batch, metas) in enumerate(loader):
+    completed = start_iteration
+    if start_iteration:
+        loader.set_start_iteration(start_iteration)
+    for it, (batch, metas) in enumerate(loader, start=start_iteration):
         data_time.update(time.time() - end)
         if shard_fn is not None:
             batch = shard_fn(batch)
@@ -108,6 +119,7 @@ def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
         batch_time.update(time.time() - end)
         end = time.time()
         global_steps += 1
+        completed = it + 1
 
         if it % cfg.PRINT_FREQ == 0 or it >= max_iter - 1:
             host_metrics = {k: float(v) for k, v in metrics.items()}
@@ -126,7 +138,11 @@ def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
                 epoch, it, max_iter, batch_time.val, batch_time.avg,
                 bsz / max(batch_time.val, 1e-9), data_time.val,
                 host_metrics.get("final_loss", float("nan")), acc_meter.avg)
-    return train_state, global_steps
+        if should_stop is not None and should_stop():
+            logger.info("train_epoch: stop requested at epoch %d iteration %d",
+                        epoch, completed)
+            break
+    return train_state, global_steps, completed
 
 
 def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,

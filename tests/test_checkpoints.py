@@ -26,7 +26,8 @@ def test_save_resume_roundtrip(ts, tmp_path):
     folder = str(tmp_path / "ck")
     ckpt.save_checkpoint(folder, 3, ts, tensorboard_global_steps=42)
     assert ckpt.get_latest_checkpoint(folder).endswith("epoch_3_state")
-    ts2, begin_epoch, tb = ckpt.resume(folder, ts)
+    ts2, begin_epoch, tb, start_it = ckpt.resume(folder, ts)
+    assert start_it == 0
     assert begin_epoch == 4 and tb == 42
     np.testing.assert_array_equal(
         np.asarray(ts2.params["final_layer1.weight"]),
@@ -117,7 +118,7 @@ def test_sharded_save_resume_roundtrip(ts, tmp_path):
         step=replicate(mesh, ts.step))
     folder = str(tmp_path / "ck_mesh")
     ckpt.save_checkpoint(folder, 5, sharded, tensorboard_global_steps=7)
-    ts2, begin_epoch, tb = ckpt.resume(folder, sharded)
+    ts2, begin_epoch, tb, start_it = ckpt.resume(folder, sharded)
     assert begin_epoch == 6 and tb == 7
     leaf = ts2.params["final_layer1.weight"]
     assert leaf.sharding.is_fully_replicated
