@@ -23,6 +23,7 @@ from otpose_tpu.engine.runner import (evaluate_epoch, evaluate_epoch_decoded,
 from otpose_tpu.engine.trainer import make_decoded_eval_step, make_eval_step
 from otpose_tpu.models.otpose import (OTPoseSpec, init_otpose,
                                       prepare_eval_params)
+from otpose_tpu.parallel import distributed
 from otpose_tpu.parallel.mesh import make_mesh, make_eval_shard_fn, replicate
 
 logger = logging.getLogger(__name__)
@@ -30,8 +31,11 @@ logger = logging.getLogger(__name__)
 
 class Eval(RunBase):
     def __init__(self, phase: str = "validate", args=None):
+        # multi-host: connect before the first backend use (see cli/train.py)
+        distributed.maybe_initialize()
         super().__init__(phase, args=args)
         cfg = self.cfg
+        distributed.maybe_initialize(cfg)
         self.dataset = PoseTrackDataset(cfg, phase)
         sub = cfg.VAL if phase == "validate" else cfg.TEST
         self.batch = sub.BATCH_SIZE_PER_GPU * len(jax.devices())

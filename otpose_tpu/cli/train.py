@@ -27,6 +27,7 @@ from otpose_tpu.engine.trainer import (init_train_state, make_decoded_eval_step,
 from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
 from otpose_tpu.models.torch2jax import filter_pretrained_for_otpose
 from otpose_tpu.ops.heatmap import adjust_sigma
+from otpose_tpu.parallel import distributed
 from otpose_tpu.parallel.mesh import (make_eval_shard_fn, make_mesh, replicate,
                                       shard_batch)
 
@@ -35,8 +36,12 @@ logger = logging.getLogger(__name__)
 
 class Train(RunBase):
     def __init__(self, args=None):
+        # multi-host: connect to the job BEFORE the first backend use so
+        # jax.devices() is the global device set (parallel/distributed.py)
+        distributed.maybe_initialize()
         super().__init__("train", args=args)
         cfg = self.cfg
+        distributed.maybe_initialize(cfg)  # cfg.TPU.MULTIHOST pod auto-detect
         seed = cfg.SEED
         self.rng = jax.random.PRNGKey(seed)
 
@@ -45,7 +50,7 @@ class Train(RunBase):
         self.batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
         self.loader = make_loader(cfg, self.train_dataset, self.batch_size,
                                   shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
-                                  seed=seed)
+                                  seed=seed, process_shard=True)
 
         self.spec = OTPoseSpec.from_cfg(cfg)
         params, model_state = init_otpose(jax.random.PRNGKey(seed), self.spec)
@@ -82,12 +87,13 @@ class Train(RunBase):
                                               mesh=self.mesh)
 
         self.tb_writer = None
-        try:
-            from tensorboardX import SummaryWriter
+        if distributed.is_primary():
+            try:
+                from tensorboardX import SummaryWriter
 
-            self.tb_writer = SummaryWriter(self.tb_save_folder)
-        except Exception:  # pragma: no cover
-            logger.warning("tensorboardX unavailable; skipping TB logging")
+                self.tb_writer = SummaryWriter(self.tb_save_folder)
+            except Exception:  # pragma: no cover
+                logger.warning("tensorboardX unavailable; skipping TB logging")
 
     def _load_pretrained(self, params, model_state):
         """Pretrained COCO-HRNet partial load (ref: model/OTPose.py:477-499)."""

@@ -237,6 +237,11 @@ _C.TPU.PROFILE_DIR = ""              # non-empty: capture jax.profiler traces he
 #   auto:  crops when the default backend is an accelerator, else off
 _C.TPU.DEVICE_PREPROCESS = "auto"
 _C.TPU.MAX_FRAME_HW = [1088, 1920]   # raw-frame staging buffer (covers PoseTrack)
+# multi-host jobs (one process per host): true = jax.distributed.initialize()
+# pod auto-detection; explicit coordinators use OTPOSE_COORDINATOR /
+# OTPOSE_NUM_PROCESSES / OTPOSE_PROCESS_ID env vars instead
+# (parallel/distributed.py)
+_C.TPU.MULTIHOST = False
 
 
 def get_cfg() -> CfgNode:

@@ -39,13 +39,27 @@ def device_preprocess_enabled(cfg) -> bool:
 
 
 def make_loader(cfg, dataset, batch_size: int, *, shuffle: bool,
-                drop_last: bool = False, seed: int | None = None):
-    """Build the configured loader (device-preprocessing or host path)."""
+                drop_last: bool = False, seed: int | None = None,
+                process_shard: bool = False):
+    """Build the configured loader (device-preprocessing or host path).
+
+    ``process_shard=True`` (multi-host training): ``batch_size`` is the
+    GLOBAL batch and this process loads only its contiguous row block of
+    every batch; the global array is assembled by ``parallel.mesh
+    .shard_batch``.  Eval loaders keep full batches on every host (the eval
+    shard_fn slices instead) so host-side bookkeeping sees every row.
+    """
     from otpose_tpu.data.loader import Loader
 
     kwargs = dict(shuffle=shuffle, num_workers=cfg.WORKERS,
                   seed=cfg.SEED if seed is None else seed,
                   drop_last=drop_last, prefetch=cfg.TPU.PREFETCH_DEPTH)
+    if process_shard:
+        from otpose_tpu.parallel.distributed import process_info
+
+        pid, count = process_info()
+        if count > 1:
+            kwargs.update(process_index=pid, process_count=count)
     mode = resolve_device_preprocess(cfg)
     if mode != "off":
         from otpose_tpu.data.device_loader import DeviceLoader

@@ -22,7 +22,8 @@ from otpose_tpu.data.pipeline import collate_host_samples
 class Loader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 4, seed: int = 8888, drop_last: bool = False,
-                 prefetch: int = 2, native_host: bool = True):
+                 prefetch: int = 2, native_host: bool = True,
+                 process_index: int = 0, process_count: int = 1):
         # native_host: route each sample's warp/normalize/target-gen through
         # the C++/OpenMP batch kernels when native/libotpose_io.so is built
         # (float-bilinear warp, ~1 u8 LSB vs cv2's fixed point — see
@@ -37,6 +38,18 @@ class Loader:
         self.prefetch = prefetch
         self.epoch = 0
         self._start_iteration = 0
+        # multi-host jobs: batch_size is the GLOBAL batch; every process
+        # computes the same shuffled index batches (same seed/epoch) and
+        # loads only its contiguous row block — process-major, matching how
+        # P('data') lays rows over jax.devices() (parallel/distributed.py::
+        # local_row_block).  Sample RNG is index-keyed, so the augmentation
+        # draw for a given sample is identical no matter which host loads it.
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            assert drop_last, "multi-host loading requires drop_last=True"
+            assert batch_size % process_count == 0, \
+                f"global batch {batch_size} not divisible by {process_count}"
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -64,6 +77,10 @@ class Loader:
                    for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [b[lo:lo + per] for b in batches]
         start, self._start_iteration = self._start_iteration, 0
         return batches[start:]
 

@@ -53,12 +53,18 @@ def save_checkpoint(folder: str, epoch: int, train_state, *,
 def save_best_checkpoint(folder: str, train_state, mAP: float):
     """``best_mAP_{v}_state`` with prior-best removal
     (ref: model/checkpoints.py:47-74)."""
+    from otpose_tpu.parallel.distributed import is_primary
+
     os.makedirs(folder, exist_ok=True)
     for name in os.listdir(folder):
         if name.startswith("best_mAP_"):
             prev = _parse_best(name)
             if prev is not None and prev < mAP:
-                shutil.rmtree(osp.join(folder, name), ignore_errors=True)
+                # multihost: every process reaches the same decision (mAP is
+                # broadcast), but only the primary touches the shared FS —
+                # concurrent rmtree of the same dir races
+                if is_primary():
+                    shutil.rmtree(osp.join(folder, name), ignore_errors=True)
             elif prev is not None and prev >= mAP:
                 return None
     path = osp.abspath(osp.join(folder, f"best_mAP_{mAP}_state"))

@@ -165,6 +165,8 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
 
     end = time.time()
 
+    from otpose_tpu.parallel.distributed import broadcast_scalar, fetch, is_primary
+
     def _iter_pipelined():
         """One-deep pipeline: enqueue batch i+1's forward before fetching
         batch i's results, overlapping device compute with the host-side
@@ -177,11 +179,11 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
             heat = eval_fn(params, model_state, fwd)[0]
             if pending is not None:
                 p_heat, p_batch, p_metas = pending
-                yield np.asarray(p_heat), p_batch, p_metas
+                yield fetch(p_heat), p_batch, p_metas
             pending = (heat, batch, metas)
         if pending is not None:
             p_heat, p_batch, p_metas = pending
-            yield np.asarray(p_heat), p_batch, p_metas
+            yield fetch(p_heat), p_batch, p_metas
 
     for it, (preds_np, batch, metas) in enumerate(_iter_pipelined()):
         target_np = np.asarray(batch["target"])
@@ -211,18 +213,24 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
         all_boxes[idx:idx + n, 5] = score
         idx += n
 
-        if cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX:
+        if (cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX) and is_primary():
             _vis_origin_images(cfg, output_dir, phase, metas, preds, maxvals)
         if it % cfg.PRINT_FREQ == 0:
             logger.info("%s: [%d/%d]\tTime %.3f (%.3f)\tAccuracy %.3f (%.3f)",
                         phase, it, len(loader), batch_time.val, batch_time.avg,
                         acc_meter.val, acc_meter.avg)
-            if cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX:
+            if (cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX) and is_primary():
                 _dump_vis(cfg, output_dir, phase, it, batch, metas, preds_np)
 
-    name_values, mean_ap = dataset.evaluate(cfg, all_preds, output_dir,
-                                            all_boxes, filenames_map)
-    _print_name_value(name_values, cfg.MODEL.NAME)
+    # multihost: primary writes poseval jsons + computes AP; the scalar is
+    # broadcast so best-checkpoint control flow stays in lockstep
+    if is_primary():
+        name_values, mean_ap = dataset.evaluate(cfg, all_preds, output_dir,
+                                                all_boxes, filenames_map)
+        _print_name_value(name_values, cfg.MODEL.NAME)
+    else:  # pragma: no cover - exercised only in multi-process jobs
+        name_values, mean_ap = {}, None
+    mean_ap = broadcast_scalar(mean_ap)
     if tb_writer is not None:
         tb_writer.add_scalar(f"{phase}/mAP", mean_ap, global_steps)
     return name_values, mean_ap
@@ -314,6 +322,10 @@ def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
     idx = 0
     end = time.time()
 
+    # multihost: outputs are globally sharded — fetch() all-gathers the tiny
+    # per-box keypoints so every host sees every row (parallel/distributed.py)
+    from otpose_tpu.parallel.distributed import broadcast_scalar, fetch, is_primary
+
     def _iter_pipelined():
         pending = None
         for batch, metas in loader:
@@ -323,11 +335,11 @@ def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
             outs = decoded_fn(params, model_state, fwd)
             if pending is not None:
                 p_outs, p_batch, p_metas = pending
-                yield tuple(np.asarray(o) for o in p_outs), p_batch, p_metas
+                yield tuple(fetch(o) for o in p_outs), p_batch, p_metas
             pending = (outs, batch, metas)
         if pending is not None:
             p_outs, p_batch, p_metas = pending
-            yield tuple(np.asarray(o) for o in p_outs), p_batch, p_metas
+            yield tuple(fetch(o) for o in p_outs), p_batch, p_metas
 
     for it, ((coords, maxvals, raw_coords), batch, metas) in \
             enumerate(_iter_pipelined()):
@@ -363,7 +375,7 @@ def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
         all_boxes[idx:idx + n, 5] = score
         idx += n
 
-        if cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX:
+        if (cfg.DEBUG.VIS_SKELETON or cfg.DEBUG.VIS_BBOX) and is_primary():
             _vis_origin_images(cfg, output_dir, phase, metas,
                                all_preds[idx - n:idx], maxvals)
         if it % cfg.PRINT_FREQ == 0:
@@ -371,9 +383,17 @@ def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
                         phase, it, len(loader), batch_time.val, batch_time.avg,
                         acc_meter.val, acc_meter.avg)
 
-    name_values, mean_ap = dataset.evaluate(cfg, all_preds, output_dir,
-                                            all_boxes, filenames_map)
-    _print_name_value(name_values, cfg.MODEL.NAME)
+    # multihost: every process accumulated identical all_preds/all_boxes
+    # (fetch() all-gathers), but only the primary writes the poseval jsons
+    # and runs AP; the scalar is fanned back out so best-checkpoint control
+    # flow stays in lockstep on every process
+    if is_primary():
+        name_values, mean_ap = dataset.evaluate(cfg, all_preds, output_dir,
+                                                all_boxes, filenames_map)
+        _print_name_value(name_values, cfg.MODEL.NAME)
+    else:  # pragma: no cover - exercised only in multi-process jobs
+        name_values, mean_ap = {}, None
+    mean_ap = broadcast_scalar(mean_ap)
     if tb_writer is not None:
         tb_writer.add_scalar(f"{phase}/mAP", mean_ap, global_steps)
     return name_values, mean_ap

@@ -38,21 +38,51 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with the batch axis sharded on 'data'."""
+    """Place a pytree of host arrays with the batch axis sharded on 'data'.
+
+    Multi-process jobs (``jax.process_count() > 1``): each process passes its
+    LOCAL row block (the loader's ``process_index/process_count`` sharding,
+    ``parallel/distributed.py::local_row_block``) and the global array is
+    assembled across hosts — the global batch is ``local * process_count``
+    rows.  Single-process: a plain device_put."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    count = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * count,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(s, x, gshape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate host arrays over every device of the (possibly multi-host)
+    mesh.  Multihost callers must pass identical values on every process
+    (same seed / same checkpoint — both already guaranteed by the CLIs)."""
     s = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(s, x, x.shape)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def make_eval_shard_fn(mesh: Mesh):
     """Batch-sharding placement for eval loops.  The last eval batch may not
     divide the device count (eval loaders don't drop_last); such a batch is
     placed replicated instead — correctness is unaffected, only that one
-    batch loses the parallelism."""
+    batch loses the parallelism.
+
+    Multi-process jobs: the eval loop runs with FULL (global) host batches on
+    every process — the host-side bookkeeping (meta accumulation, affine
+    back-projection, poseval writing) needs every row — so this shard_fn
+    slices out the local row block before assembling the global array."""
     # batches shard on the 'data' axis only, so divisibility is against that
     # axis size — not the total device count (they differ under a dp x sp
     # mesh, where e.g. (data=4, seq=2) must shard any batch divisible by 4)
@@ -61,8 +91,16 @@ def make_eval_shard_fn(mesh: Mesh):
 
     def shard_fn(batch):
         bs = next(iter(batch.values())).shape[0]
-        if bs % n == 0:
-            return shard_batch(mesh, batch)
-        return replicate(mesh, batch)
+        if jax.process_count() == 1:
+            if bs % n == 0:
+                return shard_batch(mesh, batch)
+            return replicate(mesh, batch)
+        from otpose_tpu.parallel.distributed import local_row_block
+
+        if bs % n == 0 and bs % jax.process_count() == 0:
+            lo, hi = local_row_block(bs)
+            return shard_batch(mesh, jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[lo:hi], batch))
+        return replicate(mesh, jax.tree_util.tree_map(np.asarray, batch))
 
     return shard_fn
