@@ -20,7 +20,7 @@ from otpose_tpu.data.posetrack import PoseTrackDataset
 from otpose_tpu.engine import checkpoints as ckpt
 from otpose_tpu.engine.base import RunBase
 from otpose_tpu.engine.optim import make_optimizer, make_schedule
-from otpose_tpu.engine.preempt import PreemptionGuard
+from otpose_tpu.engine.preempt import make_preemption_guard
 from otpose_tpu.engine.runner import evaluate_epoch_decoded, train_epoch
 from otpose_tpu.engine.trainer import (init_train_state, make_decoded_eval_step,
                                        make_train_step)
@@ -127,8 +127,9 @@ class Train(RunBase):
                         begin_epoch, start_it)
 
         # graceful preemption: first SIGTERM checkpoints the exact iteration
-        # at the next step boundary and exits 0 (engine/preempt.py)
-        guard = PreemptionGuard().install()
+        # at the next step boundary and exits 0; multi-process jobs agree on
+        # a common stop iteration first (engine/preempt.py)
+        guard = make_preemption_guard(start_step=tb_steps)
         sigma_schedule = list(getattr(self.args, "sigma_schedule", []) or [])
         best_map = -1.0
         for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
@@ -142,7 +143,7 @@ class Train(RunBase):
                 tb_writer=self.tb_writer, global_steps=tb_steps,
                 shard_fn=lambda b: shard_batch(self.mesh, b),
                 start_iteration=start_it if epoch == begin_epoch else 0,
-                should_stop=lambda: guard.requested)
+                should_stop=guard.check)
             if guard.requested:
                 # iteration=0 when the epoch happened to finish: resume
                 # continues at epoch+1 (engine/checkpoints.py semantics)

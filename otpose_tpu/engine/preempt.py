@@ -66,3 +66,51 @@ class PreemptionGuard:
 
     def __exit__(self, *exc) -> None:
         self.uninstall()
+
+    def check(self) -> bool:
+        """Iteration-boundary probe (train_epoch ``should_stop``)."""
+        return self.requested
+
+
+class ClusterPreemptionGuard:
+    """Multi-process preemption: agreement on a COMMON stop iteration.
+
+    In a multi-process job the SIGTERM lands on one host, and host loops
+    drift by the async dispatch depth — a locally-observed flag would make
+    processes exit at different iterations, stranding peers' in-flight
+    collectives (deadlock).  XLA's preemption notifier owns SIGTERM here
+    (``jax.distributed.initialize`` registers it, replacing any Python
+    handler), and ``check()`` runs the sync protocol: after a signal on any
+    host, it returns True on every process at the same per-call counter
+    value.  The counter starts at ``start_step`` — pass a process-consistent
+    base (e.g. the resumed tensorboard step) so ids line up across restarts.
+    """
+
+    def __init__(self, start_step: int = 0):
+        self._next_step = int(start_step)
+        self.requested = False
+
+    def install(self) -> "ClusterPreemptionGuard":
+        return self  # nothing to install: the XLA notifier already owns SIGTERM
+
+    def check(self) -> bool:
+        from otpose_tpu.parallel.distributed import reached_preemption_sync_point
+
+        if not self.requested:
+            step, self._next_step = self._next_step, self._next_step + 1
+            if reached_preemption_sync_point(step):
+                self.requested = True
+                logger.warning("cluster preemption: all processes stopping "
+                               "at sync step %d", step)
+        return self.requested
+
+
+def make_preemption_guard(start_step: int = 0):
+    """The right guard for the process topology: PreemptionGuard (Python
+    SIGTERM flag) single-process, ClusterPreemptionGuard (coordination-
+    service sync protocol) in multi-process jobs."""
+    import jax
+
+    if jax.process_count() > 1:
+        return ClusterPreemptionGuard(start_step).install()
+    return PreemptionGuard().install()

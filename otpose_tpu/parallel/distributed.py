@@ -132,6 +132,24 @@ def barrier(name: str, timeout_s: int = 600) -> None:
     global_state.client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
 
 
+def reached_preemption_sync_point(step_id: int) -> bool:
+    """Multihost preemption agreement: True on EVERY process at the SAME
+    ``step_id`` once any host received SIGTERM (XLA's preemption notifier
+    owns the signal in multi-process jobs; jax.distributed.initialize sets
+    it up).  This is the only sound way to stop a multi-process job early:
+    host loops drift by the async dispatch depth, so a locally-observed flag
+    would strand peers' in-flight collectives.  Call once per iteration with
+    a monotonically increasing, process-consistent id.  False single-process
+    (use engine/preempt.py's PreemptionGuard there)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return False
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.reached_preemption_sync_point(step_id)
+
+
 def broadcast_scalar(value: float | None, *, none_sentinel=np.nan) -> float | None:
     """Fan a primary-computed scalar (e.g. mean AP) out to every process so
     downstream control flow (best-checkpoint saves) stays in lockstep."""

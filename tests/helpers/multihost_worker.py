@@ -116,6 +116,43 @@ def main(out_path):
                 distributed.fetch(ts2.params["final_layer1.weight"]),
                 distributed.fetch(ts.params["final_layer1.weight"]))
 
+        # cluster preemption: SIGTERM on ONE process must stop BOTH at the
+        # SAME iteration (engine/preempt.py::ClusterPreemptionGuard)
+        if count > 1:
+            import signal
+
+            from otpose_tpu.engine import checkpoints as ckpt
+            from otpose_tpu.engine.preempt import make_preemption_guard
+
+            guard = make_preemption_guard(start_step=1000)
+            assert type(guard).__name__ == "ClusterPreemptionGuard"
+            ts_p = ts  # keep ts untouched: the npz compare below must match
+            stop_at = -1
+            for it in range(50):
+                ts_p, _ = compiled(ts_p, shard_batch(mesh, local(
+                    make_batch(200 + it, global_b))), jax.random.PRNGKey(it))
+                if pid == 1 and it == 1:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                    print("proc1: self-SIGTERM at it=1", flush=True)
+                if guard.check():
+                    stop_at = it
+                    break
+            assert guard.requested and stop_at >= 1, stop_at
+            # cross-check both processes stopped at the same iteration
+            from jax._src.distributed import global_state
+
+            client = global_state.client
+            client.key_value_set(f"preempt_stop/{pid}", str(stop_at))
+            other = client.blocking_key_value_get(
+                f"preempt_stop/{1 - pid}", 120_000)
+            assert int(other) == stop_at, (other, stop_at)
+            # the collective checkpoint save still works post-agreement
+            if folder:
+                ckpt.save_checkpoint(folder, 1, ts_p,
+                                     tensorboard_global_steps=3,
+                                     iteration=stop_at)
+            print(f"preempt phase ok: stop_at={stop_at}", flush=True)
+
     leaves = {k: distributed.fetch(v) for k, v in sorted(ts.params.items())}
     if distributed.is_primary():
         np.savez(out_path, losses=np.float64(losses),

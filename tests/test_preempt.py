@@ -52,6 +52,32 @@ def test_guard_context_manager():
         assert guard.requested
 
 
+def test_guard_check_mirrors_requested():
+    guard = PreemptionGuard((signal.SIGUSR1,)).install()
+    try:
+        assert guard.check() is False
+        signal.raise_signal(signal.SIGUSR1)
+        assert guard.check() is True
+    finally:
+        guard.uninstall()
+
+
+def test_make_preemption_guard_single_process():
+    """Single-process: the Python-signal guard; the cluster guard's sync
+    protocol is only reachable in multi-process jobs (integration-tested by
+    tests/test_distributed.py via the worker's preempt phase)."""
+    from otpose_tpu.engine.preempt import (ClusterPreemptionGuard,
+                                           make_preemption_guard)
+
+    guard = make_preemption_guard(start_step=7)
+    assert isinstance(guard, PreemptionGuard)
+    guard.uninstall()
+    # the cluster guard is inert single-process: check() never fires
+    cg = ClusterPreemptionGuard(start_step=7)
+    assert cg.check() is False and cg.check() is False
+    assert cg._next_step == 9 and not cg.requested
+
+
 @pytest.fixture(scope="module")
 def train_setup(tmp_path_factory):
     root = tmp_path_factory.mktemp("preempt")
