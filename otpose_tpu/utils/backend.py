@@ -24,8 +24,14 @@ import socket
 _AXON_RELAY_PORT = int(os.environ.get("AXON_RELAY_PORT", "8082"))
 
 
-def axon_relay_alive(port: int = _AXON_RELAY_PORT, timeout: float = 0.5) -> bool:
-    """True iff the axon tunnel relay accepts TCP connections on ``port``."""
+def axon_relay_alive(port: int | None = None, timeout: float = 0.5) -> bool:
+    """True iff the axon tunnel relay accepts TCP connections on ``port``.
+
+    ``port=None`` reads ``_AXON_RELAY_PORT`` at call time (a def-time
+    default would freeze the value and ignore test monkeypatching).
+    """
+    if port is None:
+        port = _AXON_RELAY_PORT
     try:
         with socket.create_connection(("127.0.0.1", port), timeout=timeout):
             return True
