@@ -29,6 +29,15 @@ ANCHORS = {
     2: [(10, 13), (16, 30), (33, 23)],
 }
 
+# yolov3-tiny masks: head1 = 3,4,5; head2 = 1,2,3 (the official cfg reuses
+# anchor 3 — a darknet quirk, reproduced; ref: config/yolov3-tiny.cfg:150,199)
+TINY_ANCHORS = {
+    0: [(81, 82), (135, 169), (344, 319)],
+    1: [(23, 27), (37, 58), (81, 82)],
+}
+
+_VARIANT_ANCHORS = {"yolov3": ANCHORS, "yolov3-tiny": TINY_ANCHORS}
+
 
 @dataclasses.dataclass(frozen=True)
 class ConvSpec:
@@ -39,8 +48,12 @@ class ConvSpec:
 
 
 # ('conv', ConvSpec) | ('res', n_blocks, mid, out) | ('route', [tap names])
-# | ('up',) | ('save', name) | ('yolo', head_idx)
-def _program() -> List[tuple]:
+# | ('up',) | ('save', name) | ('yolo', head_idx) | ('max', size, stride)
+def _program(variant: str = "yolov3") -> List[tuple]:
+    if variant == "yolov3-tiny":
+        return _program_tiny()
+    if variant != "yolov3":
+        raise ValueError(f"unknown YOLO variant {variant!r}")
     p: List[tuple] = [
         ("conv", ConvSpec(32, 3)),
         ("conv", ConvSpec(64, 3, 2)), ("res", 1, 32, 64),
@@ -74,13 +87,39 @@ def _program() -> List[tuple]:
     return p
 
 
-def _conv_specs_in_order() -> List[Tuple[int, ConvSpec]]:
+def _program_tiny() -> List[tuple]:
+    """yolov3-tiny: 13 convs, 6 maxpools, 2 heads
+    (ref: config/yolov3-tiny.cfg; layer numbering per darknet cfg order)."""
+    p: List[tuple] = [
+        ("conv", ConvSpec(16, 3)), ("max", 2, 2),
+        ("conv", ConvSpec(32, 3)), ("max", 2, 2),
+        ("conv", ConvSpec(64, 3)), ("max", 2, 2),
+        ("conv", ConvSpec(128, 3)), ("max", 2, 2),
+        ("conv", ConvSpec(256, 3)), ("save", "l8"),   # cfg layer 8
+        ("max", 2, 2),
+        ("conv", ConvSpec(512, 3)),
+        ("max", 2, 1),                                 # stride-1 pool, same-size
+        ("conv", ConvSpec(1024, 3)),
+        ("conv", ConvSpec(256, 1)), ("save", "l13"),  # route -4 target
+        ("conv", ConvSpec(512, 3)),
+        ("conv", ConvSpec(255, 1, bn=False)),
+        ("yolo", 0),
+        ("route", ["l13"]), ("conv", ConvSpec(128, 1)), ("up",),
+        ("route_cat", "l8"),
+        ("conv", ConvSpec(256, 3)),
+        ("conv", ConvSpec(255, 1, bn=False)),
+        ("yolo", 1),
+    ]
+    return p
+
+
+def _conv_specs_in_order(variant: str = "yolov3") -> List[Tuple[int, ConvSpec]]:
     """All convs in darknet weight-file order with their input channels."""
     specs = []
     ch = 3
     saves: Dict[str, int] = {}
     stack = []  # channel tracker
-    for op in _program():
+    for op in _program(variant):
         if op[0] == "conv":
             specs.append((ch, op[1]))
             ch = op[1].out_ch
@@ -96,12 +135,12 @@ def _conv_specs_in_order() -> List[Tuple[int, ConvSpec]]:
             ch = saves[op[1][0]]
         elif op[0] == "route_cat":
             ch = ch + saves[op[1]]
-        elif op[0] in ("up", "yolo"):
+        elif op[0] in ("up", "yolo", "max"):
             pass
     return specs
 
 
-def load_darknet_weights(path: str) -> List[dict]:
+def load_darknet_weights(path: str, variant: str = "yolov3") -> List[dict]:
     """Official .weights binary -> per-conv param dicts in program order
     (layout per conv: [bn_bias, bn_scale, bn_mean, bn_var] or [bias], then
     OIHW kernel — ref: models.py:286-331)."""
@@ -110,7 +149,7 @@ def load_darknet_weights(path: str) -> List[dict]:
         buf = np.fromfile(f, dtype=np.float32)
     ptr = 0
     out = []
-    for cin, spec in _conv_specs_in_order():
+    for cin, spec in _conv_specs_in_order(variant):
         p: dict = {}
         co = spec.out_ch
         if spec.bn:
@@ -129,12 +168,12 @@ def load_darknet_weights(path: str) -> List[dict]:
     return out
 
 
-def init_random_weights(seed: int = 0) -> List[dict]:
+def init_random_weights(seed: int = 0, variant: str = "yolov3") -> List[dict]:
     """Random weights with the same structure (for tests without a
     yolov3.weights file)."""
     rng = np.random.RandomState(seed)
     out = []
-    for cin, spec in _conv_specs_in_order():
+    for cin, spec in _conv_specs_in_order(variant):
         co, k = spec.out_ch, spec.kernel
         p = {"weight": (rng.randn(k, k, cin, co) * 0.01).astype(np.float32)}
         if spec.bn:
@@ -169,7 +208,8 @@ def _conv(x, p, spec: ConvSpec):
     return y
 
 
-def _decode_head(feat: jnp.ndarray, head_idx: int, img_size: int) -> jnp.ndarray:
+def _decode_head(feat: jnp.ndarray, head_idx: int, img_size: int,
+                 variant: str = "yolov3") -> jnp.ndarray:
     """(B, g, g, 255) raw head -> (B, g*g*3, 85) [cx, cy, w, h, obj, cls...]
     (ref: models.py:112-235 YOLOLayer)."""
     b, gh, gw, _ = feat.shape
@@ -178,7 +218,8 @@ def _decode_head(feat: jnp.ndarray, head_idx: int, img_size: int) -> jnp.ndarray
     xs = jnp.arange(gw, dtype=jnp.float32)
     ys = jnp.arange(gh, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)
-    anchors = jnp.asarray(ANCHORS[head_idx], jnp.float32) / stride
+    anchors = jnp.asarray(_VARIANT_ANCHORS[variant][head_idx],
+                          jnp.float32) / stride
     cx = (jax.nn.sigmoid(feat[..., 0]) + gx[None, :, :, None]) * stride
     cy = (jax.nn.sigmoid(feat[..., 1]) + gy[None, :, :, None]) * stride
     ww = jnp.exp(feat[..., 2]) * anchors[None, None, None, :, 0] * stride
@@ -190,13 +231,14 @@ def _decode_head(feat: jnp.ndarray, head_idx: int, img_size: int) -> jnp.ndarray
     return out.reshape(b, gh * gw * 3, 85)
 
 
-@functools.partial(jax.jit, static_argnames=("img_size",))
-def yolo_forward(weights_flat, x: jnp.ndarray, img_size: int = 416) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("img_size", "variant"))
+def yolo_forward(weights_flat, x: jnp.ndarray, img_size: int = 416,
+                 variant: str = "yolov3") -> jnp.ndarray:
     """x: (B, S, S, 3) in [0, 1] -> (B, N, 85) decoded detections."""
     conv_i = 0
     saves: Dict[str, jnp.ndarray] = {}
     detections = []
-    for op in _program():
+    for op in _program(variant):
         if op[0] == "conv":
             x = _conv(x, weights_flat[conv_i], op[1])
             conv_i += 1
@@ -216,8 +258,18 @@ def yolo_forward(weights_flat, x: jnp.ndarray, img_size: int = 416) -> jnp.ndarr
         elif op[0] == "up":
             b, h, w, c = x.shape
             x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        elif op[0] == "max":
+            _, size, stride = op
+            if stride == 1:
+                # darknet same-size pool: pad right/bottom with -inf
+                # (ref: models.py maxpool padding for yolov3-tiny layer 11)
+                x = jnp.pad(x, ((0, 0), (0, size - 1), (0, size - 1), (0, 0)),
+                            constant_values=-jnp.inf)
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, size, size, 1),
+                (1, stride, stride, 1), "VALID")
         elif op[0] == "yolo":
-            detections.append(_decode_head(x, op[1], img_size))
+            detections.append(_decode_head(x, op[1], img_size, variant))
     return jnp.concatenate(detections, axis=1)
 
 
@@ -286,21 +338,23 @@ class YoloV3Detector:
     """Person-box detector (ref: detector_yolov3.py:17-98)."""
 
     def __init__(self, weights_path: Optional[str] = None, img_size: int = 416,
-                 conf_thres: float = 0.8, nms_thres: float = 0.4):
+                 conf_thres: float = 0.8, nms_thres: float = 0.4,
+                 variant: str = "yolov3"):
         self.img_size = img_size
         self.conf_thres = conf_thres
         self.nms_thres = nms_thres
+        self.variant = variant
         if weights_path:
-            self.weights = load_darknet_weights(weights_path)
+            self.weights = load_darknet_weights(weights_path, variant)
         else:
-            self.weights = init_random_weights()
+            self.weights = init_random_weights(variant=variant)
 
     def detect_persons(self, img_rgb: np.ndarray) -> List[list]:
         """RGB image -> list of [x, y, w, h] person boxes in image coords
         (ref: detector_yolov3.py:58-98)."""
         tensor, (pad, side) = preprocess_image(img_rgb, self.img_size)
         dets = np.asarray(yolo_forward(self.weights, jnp.asarray(tensor[None]),
-                                       self.img_size))[0]
+                                       self.img_size, self.variant))[0]
         kept = non_max_suppression(dets, self.conf_thres, self.nms_thres)
         boxes = []
         scale = side / self.img_size

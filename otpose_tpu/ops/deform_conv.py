@@ -136,11 +136,12 @@ def identity_filler_weight(channels: int, kernel: int = 3) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding", "dilation",
-                                             "deformable_groups"))
+                                             "deformable_groups", "groups"))
 def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarray,
                           weight: jnp.ndarray, bias: jnp.ndarray | None = None, *,
                           kernel: int = 3, stride: int = 1, padding: int = 1,
-                          dilation: int = 1, deformable_groups: int = 1) -> jnp.ndarray:
+                          dilation: int = 1, deformable_groups: int = 1,
+                          groups: int = 1) -> jnp.ndarray:
     """DCNv2 forward, gather-free TPU formulation (same signature/semantics
     as ``modulated_deform_conv_gather``, validated against the same oracle).
 
@@ -156,7 +157,33 @@ def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarra
     Gradients: d(tent)/ds = -sign(s - i) on the support, which reproduces the
     reference backward's bilinear coordinate gradients
     (ref: deform_conv_cuda_kernel.cu:54-126) via plain autodiff.
+
+    ``groups`` is the reference ModulatedDeformConv's weight-group count
+    (ref: thirdparty/deform_conv/modules/deform_conv.py); weight is then
+    (Kh, Kw, C_in/groups, C_out) and each group convolves its channel slice.
+    Requires deformable_groups % groups == 0 so every weight group owns
+    whole deformable groups (always true for the reference's uses).
     """
+    if groups > 1:
+        if deformable_groups % groups:
+            raise ValueError("deformable_groups must be divisible by groups")
+        b_, h_, w_, c_ = x.shape
+        k2_ = kernel * kernel
+        cin_g = c_ // groups
+        cout_g = weight.shape[-1] // groups
+        dg_g = deformable_groups // groups
+        off = offsets.reshape(*offsets.shape[:3], groups, dg_g * 2 * k2_)
+        msk = mask.reshape(*mask.shape[:3], groups, dg_g * k2_)
+        outs = [
+            modulated_deform_conv(
+                x[..., g * cin_g:(g + 1) * cin_g], off[..., g, :],
+                msk[..., g, :], weight[..., g * cout_g:(g + 1) * cout_g],
+                None, kernel=kernel, stride=stride, padding=padding,
+                dilation=dilation, deformable_groups=dg_g)
+            for g in range(groups)
+        ]
+        out = jnp.concatenate(outs, axis=-1)
+        return out if bias is None else out + bias.astype(out.dtype)
     b, h, w, c = x.shape
     k2 = kernel * kernel
     dg = deformable_groups
@@ -212,6 +239,26 @@ def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarra
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding",
+                                             "dilation", "deformable_groups",
+                                             "groups"))
+def deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, weight: jnp.ndarray,
+                bias: jnp.ndarray | None = None, *, kernel: int = 3,
+                stride: int = 1, padding: int = 1, dilation: int = 1,
+                deformable_groups: int = 1, groups: int = 1) -> jnp.ndarray:
+    """DCNv1 (unmodulated) deformable conv: DCNv2 with an all-ones mask
+    (ref: thirdparty/deform_conv/functions/deform_conv.py::deform_conv,
+    src/deform_conv_cuda.cpp:148-249).  Package-API parity for reference
+    users; OTPose itself only uses the modulated form."""
+    b, ho, wo, _ = offsets.shape
+    k2 = kernel * kernel
+    ones = jnp.ones((b, ho, wo, deformable_groups * k2), x.dtype)
+    return modulated_deform_conv(
+        x, offsets, ones, weight, bias, kernel=kernel, stride=stride,
+        padding=padding, dilation=dilation,
+        deformable_groups=deformable_groups, groups=groups)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding_list",

@@ -186,3 +186,60 @@ def test_multi_dilation_equals_mean_of_singles(rng):
         x, offs, msks, jnp.stack(wgts), jnp.stack(bias), kernel=3, stride=1,
         padding_list=dilations, dilation_list=dilations, deformable_groups=dg)
     np.testing.assert_allclose(np.asarray(fused), expected, atol=1e-4)
+
+
+def test_deform_conv_v1_equals_modulated_with_ones_mask(rng):
+    """DCNv1 package-API parity (ref: thirdparty/deform_conv/functions/
+    deform_conv.py::deform_conv): unmodulated == mask-of-ones DCNv2."""
+    from otpose_tpu.ops.deform_conv import deform_conv
+
+    b, c, h, w, dg, kernel = 2, 4, 6, 7, 2, 3
+    k2 = kernel * kernel
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    offsets = jnp.asarray((rng.randn(b, h, w, dg * 2 * k2) * 2).astype(np.float32))
+    weight = jnp.asarray(rng.randn(kernel, kernel, c, c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(c).astype(np.float32))
+    y1 = deform_conv(x, offsets, weight, bias, kernel=kernel, padding=1,
+                     deformable_groups=dg)
+    ones = jnp.ones((b, h, w, dg * k2), jnp.float32)
+    y2 = modulated_deform_conv(x, offsets, ones, weight, bias, kernel=kernel,
+                               padding=1, deformable_groups=dg)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_grouped_matches_blockdiag_oracle(rng):
+    """groups=2 == dense conv with a block-diagonal weight (each group's
+    cross-group weights zero), checked via the dense numpy oracle."""
+    b, c, h, w, dg, kernel, groups = 2, 8, 6, 7, 4, 3, 2
+    k2 = kernel * kernel
+    cin_g, cout_g = c // groups, c // groups
+    x = rng.randn(b, c, h, w).astype(np.float32)
+    offsets = (rng.randn(b, dg * 2 * k2, h, w) * 2).astype(np.float32)
+    mask = rng.rand(b, dg * k2, h, w).astype(np.float32)
+    # grouped weight (OIHW with I = cin_g)
+    wg = rng.randn(c, cin_g, kernel, kernel).astype(np.float32)
+    bias = rng.randn(c).astype(np.float32)
+    # embed into a block-diagonal dense weight for the oracle
+    wd = np.zeros((c, c, kernel, kernel), np.float32)
+    for g in range(groups):
+        wd[g * cout_g:(g + 1) * cout_g, g * cin_g:(g + 1) * cin_g] = \
+            wg[g * cout_g:(g + 1) * cout_g]
+    y_ref = _oracle(x, offsets, mask, wd, bias, kernel, 1, 1, 1, dg)
+    y = modulated_deform_conv(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(offsets.transpose(0, 2, 3, 1)),
+        jnp.asarray(mask.transpose(0, 2, 3, 1)),
+        jnp.asarray(wg.transpose(2, 3, 1, 0)),
+        jnp.asarray(bias), kernel=kernel, stride=1, padding=1, dilation=1,
+        deformable_groups=dg, groups=groups)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), y_ref,
+                               atol=1e-4)
+
+
+def test_ops_package_api_surface():
+    """The reference package exports these names
+    (thirdparty/deform_conv/__init__.py); ours must too."""
+    import otpose_tpu.ops as ops
+
+    for name in ("deform_conv", "modulated_deform_conv", "deform_roi_pooling"):
+        assert callable(getattr(ops, name)), name

@@ -205,3 +205,73 @@ def test_generate_boxes_to_detection_eval_pipeline(tmp_path, monkeypatch):
     name_value, mean_ap = ds.evaluate(cfg, preds, str(tmp_path / "out"),
                                       boxes, filenames_map)
     assert mean_ap == pytest.approx(100.0)
+
+
+def _write_synthetic_weights_variant(path, variant, seed=0):
+    rng = np.random.RandomState(seed)
+    chunks = [np.asarray([0, 2, 0, 0, 0], np.int32).tobytes()]
+    for cin, spec in Y._conv_specs_in_order(variant):
+        co, k = spec.out_ch, spec.kernel
+        if spec.bn:
+            for _ in range(4):
+                chunks.append(rng.randn(co).astype(np.float32).tobytes())
+        else:
+            chunks.append(rng.randn(co).astype(np.float32).tobytes())
+        chunks.append(rng.randn(co, cin, k, k).astype(np.float32).tobytes())
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))
+
+
+def test_tiny_program_matches_cfg():
+    """yolov3-tiny layer program: 13 convs, channel plumbing as in the
+    official cfg (ref: config/yolov3-tiny.cfg)."""
+    specs = Y._conv_specs_in_order("yolov3-tiny")
+    assert len(specs) == 13
+    assert [s.out_ch for _, s in specs] == [
+        16, 32, 64, 128, 256, 512, 1024, 256, 512, 255, 128, 256, 255]
+    # route_cat l8: conv after upsample sees 128 + 256 input channels
+    cins = [cin for cin, _ in specs]
+    assert cins[11] == 128 + 256
+    # linear heads carry bias, everything else batchnorm
+    assert [s.bn for _, s in specs].count(False) == 2
+
+
+def test_tiny_darknet_weights_roundtrip(tmp_path):
+    path = str(tmp_path / "tiny.weights")
+    _write_synthetic_weights_variant(path, "yolov3-tiny")
+    loaded = Y.load_darknet_weights(path, "yolov3-tiny")
+    assert len(loaded) == 13
+    # a full-variant read of the tiny blob must fail the exhaustion check
+    with pytest.raises((AssertionError, ValueError)):
+        Y.load_darknet_weights(path)
+
+
+def test_tiny_forward_shapes_random_weights():
+    import jax.numpy as jnp
+
+    weights = Y.init_random_weights(seed=0, variant="yolov3-tiny")
+    x = jnp.zeros((1, 64, 64, 3))
+    out = np.asarray(Y.yolo_forward(weights, x, img_size=64,
+                                    variant="yolov3-tiny"))
+    # two heads at strides 32/16 on a 64px input: 4+16 cells x 3 anchors
+    assert out.shape == (1, (4 + 16) * 3, 85)
+    assert np.isfinite(out).all()
+    assert (out[..., 4] >= 0).all() and (out[..., 4] <= 1).all()
+
+
+def test_tiny_stride1_maxpool_keeps_size():
+    """The cfg's size-2/stride-1 maxpool (layer 11) must not change H/W —
+    darknet pads right/bottom; spatial dims must survive to the stride-32
+    head or the weights won't load into the right grid."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    padded = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)),
+                     constant_values=-jnp.inf)
+    y = jax.lax.reduce_window(padded, -jnp.inf, jax.lax.max,
+                              (1, 2, 2, 1), (1, 1, 1, 1), "VALID")
+    assert y.shape == x.shape
+    # interior: max over the 2x2 window anchored top-left
+    np.testing.assert_array_equal(np.asarray(y)[0, :, :, 0][:3, :3],
+                                  np.asarray(x)[0, 1:, 1:, 0])

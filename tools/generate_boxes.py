@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--conf_thres", type=float, default=0.8)
     ap.add_argument("--nms_thres", type=float, default=0.4)
     ap.add_argument("--split", default="posetrack_val.json")
+    ap.add_argument("--variant", default="yolov3",
+                    choices=["yolov3", "yolov3-tiny"])
     args = ap.parse_args()
 
     import cv2
@@ -39,7 +41,7 @@ def main():
     from otpose_tpu.detector.yolov3 import YoloV3Detector
 
     det = YoloV3Detector(args.weights or None, conf_thres=args.conf_thres,
-                        nms_thres=args.nms_thres)
+                        nms_thres=args.nms_thres, variant=args.variant)
     coco = CocoIndex(osp.join(args.json_dir, args.split))
     out = []
     for i, img_id in enumerate(coco.get_img_ids()):
