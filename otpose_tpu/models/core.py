@@ -160,6 +160,11 @@ class Ctx:
         if not self.train or rate <= 0.0:
             return x
         keep = 1.0 - rate
+        # probed alternatives (tools/time_train_step.py --ab-dropout +
+        # /tmp rng microbench, STATUS.md round-2 perf log): uint16 threefry
+        # bits halve the random bytes but measured identical (9.0 vs 9.2 ms
+        # for all 42 flagship sites) — generation is not the binding cost,
+        # so the canonical bernoulli form stays
         mask = jax.random.bernoulli(self.next_rng(), keep, x.shape)
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 

@@ -3,11 +3,14 @@
 Usage: python tools/time_train_step.py [--batch 8] [--iters 10] [--no-remat]
 Prints ms/step and train clips/sec/chip for the device-resident step
 (input pipeline excluded; BENCH_MODE=train in bench.py measures e2e).
+--ab-dropout interleaves dropout-on vs dropout-off steps in one process
+(cross-process comparisons drift over the axon tunnel — CLAUDE.md).
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os.path as osp
 import sys
 import time
@@ -15,6 +18,40 @@ import time
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
+
+
+def build_step(args, spec, opt, dt):
+    import jax
+    import jax.numpy as jnp
+
+    from otpose_tpu.engine.trainer import make_train_step
+
+    if args.mode == "step":
+        return make_train_step(spec, opt, compute_dtype=dt,
+                               remat=not args.no_remat)
+
+    from otpose_tpu.engine.trainer import compute_losses
+    from otpose_tpu.models.core import Ctx
+
+    def loss_fn(params, model_state, batch, rng):
+        ctx = Ctx(params, model_state, train=True, rng=rng, compute_dtype=dt)
+        total, (metrics, _) = compute_losses(ctx, batch, spec, 8, True)
+        return total, metrics
+
+    if not args.no_remat:
+        loss_fn = jax.checkpoint(loss_fn)
+    if args.mode == "fwd":
+        def step(ts, batch, rng):
+            _, metrics = loss_fn(ts.params, ts.model_state, batch, rng)
+            return ts, metrics
+    else:
+        def step(ts, batch, rng):
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ts.params, ts.model_state, batch, rng)
+            metrics["gsum"] = sum(jnp.sum(g) for g in
+                                  jax.tree_util.tree_leaves(grads))
+            return ts, metrics
+    return jax.jit(step)
 
 
 def main():
@@ -25,6 +62,8 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--no-dropout", action="store_true",
                     help="zero all pdrops (isolates threefry RNG cost)")
+    ap.add_argument("--ab-dropout", action="store_true",
+                    help="same-process interleaved A/B: dropout on vs off")
     ap.add_argument("--mode", choices=["step", "fwd", "grad"], default="step",
                     help="step: full train step; fwd: loss value only; "
                          "grad: value_and_grad without the optimizer")
@@ -36,47 +75,18 @@ def main():
     import jax.numpy as jnp
 
     from otpose_tpu.engine.optim import make_optimizer, make_schedule
-    from otpose_tpu.engine.trainer import TrainState, make_train_step
+    from otpose_tpu.engine.trainer import TrainState
     from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
     from otpose_tpu.utils.testing import flagship_otpose_cfg
 
     cfg = flagship_otpose_cfg()
     spec = OTPoseSpec.from_cfg(cfg)
     if args.no_dropout:
-        import dataclasses
         spec = dataclasses.replace(spec, proj_pdrop=0.0, path_pdrop=0.0)
     params, state = init_otpose(jax.random.PRNGKey(0), spec)
     opt = make_optimizer(params, cfg, make_schedule(cfg, 1000))
-    ts = TrainState(params, state, opt.init(params), 0)
 
     dt = jnp.float32 if (args.f32 or jax.default_backend() != "tpu") else jnp.bfloat16
-    if args.mode == "step":
-        step = make_train_step(spec, opt, compute_dtype=dt,
-                               remat=not args.no_remat)
-    else:
-        from otpose_tpu.engine.trainer import compute_losses
-        from otpose_tpu.models.core import Ctx
-
-        def loss_fn(params, model_state, batch, rng):
-            ctx = Ctx(params, model_state, train=True, rng=rng,
-                      compute_dtype=dt)
-            total, (metrics, _) = compute_losses(ctx, batch, spec, 8, True)
-            return total, metrics
-
-        if not args.no_remat:
-            loss_fn = jax.checkpoint(loss_fn)
-        if args.mode == "fwd":
-            def step(ts, batch, rng):  # noqa: ANN001
-                _, metrics = loss_fn(ts.params, ts.model_state, batch, rng)
-                return ts, metrics
-        else:
-            def step(ts, batch, rng):  # noqa: ANN001
-                (_, metrics), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(ts.params, ts.model_state, batch, rng)
-                metrics["gsum"] = sum(jnp.sum(g) for g in
-                                      jax.tree_util.tree_leaves(grads))
-                return ts, metrics
-        step = jax.jit(step)
 
     b = args.batch
     rng = np.random.RandomState(0)
@@ -91,19 +101,41 @@ def main():
     def fence(m):
         return float(np.asarray(jax.device_get(m["final_loss"])))
 
+    def timeit(step, ts):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(args.iters):
+            ts, m = step(ts, batch, key)
+        fence(m)
+        return (time.perf_counter() - t0) / args.iters, ts
+
+    if args.ab_dropout:
+        # donation would free ts under fn A while fn B still needs a live
+        # copy; keep two independent states
+        spec_b = dataclasses.replace(spec, proj_pdrop=0.0, path_pdrop=0.0)
+        step_a = build_step(args, spec, opt, dt)
+        step_b = build_step(args, spec_b, opt, dt)
+        ts_a = TrainState(params, state, opt.init(params), 0)
+        ts_b = TrainState(params, state, opt.init(params), 0)
+        ts_a, m = step_a(ts_a, batch, key); fence(m)
+        ts_b, m = step_b(ts_b, batch, key); fence(m)
+        for rnd in range(3):
+            dt_a, ts_a = timeit(step_a, ts_a)
+            dt_b, ts_b = timeit(step_b, ts_b)
+            print(f"round {rnd}: dropout {dt_a * 1e3:.1f} ms   "
+                  f"no-dropout {dt_b * 1e3:.1f} ms   "
+                  f"delta {(dt_a - dt_b) * 1e3:+.1f} ms")
+        return
+
+    step = build_step(args, spec, opt, dt)
+    ts = TrainState(params, state, opt.init(params), 0)
     t0 = time.perf_counter()
     ts, metrics = step(ts, batch, key)
     fence(metrics)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
     ts, metrics = step(ts, batch, key)
     fence(metrics)
-
-    t0 = time.perf_counter()
-    m = None
-    for _ in range(args.iters):
-        ts, m = step(ts, batch, key)
-    fence(m)
-    dt_s = (time.perf_counter() - t0) / args.iters
+    dt_s, ts = timeit(step, ts)
     print(f"mode={args.mode} batch={b} remat={not args.no_remat} "
           f"dtype={dt.__name__}: {dt_s * 1e3:.1f} ms/step = "
           f"{b / dt_s:.2f} train clips/s/chip")
