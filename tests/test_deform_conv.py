@@ -243,3 +243,25 @@ def test_ops_package_api_surface():
 
     for name in ("deform_conv", "modulated_deform_conv", "deform_roi_pooling"):
         assert callable(getattr(ops, name)), name
+
+
+def test_torch_fast_dcn_matches_oracle(rng):
+    """The grid_sample DCNv2 used as bench.py's CPU-reference baseline must
+    reproduce the float64 tent-oracle stand-in (same CUDA semantics)."""
+    torch = pytest.importorskip("torch")
+    from tests.helpers.torch_otpose import get_dcn_classes
+
+    oracle_cls, fast_cls = get_dcn_classes()
+    b, c, h, w, dg, k = 2, 4, 7, 6, 2, 3
+    k2 = k * k
+    x = torch.tensor(rng.randn(b, c, h, w), dtype=torch.float32)
+    off = torch.tensor(rng.randn(b, dg * 2 * k2, h, w) * 2, dtype=torch.float32)
+    msk = torch.tensor(rng.rand(b, dg * k2, h, w), dtype=torch.float32)
+
+    o = oracle_cls(c, c, k, padding=1, dilation=1, deformable_groups=dg)
+    f = fast_cls(c, c, k, padding=1, dilation=1, deformable_groups=dg)
+    f.load_state_dict(o.state_dict())
+    with torch.no_grad():
+        yo = o(x, off, msk).numpy()
+        yf = f(x, off, msk).numpy()
+    np.testing.assert_allclose(yf, yo, atol=2e-5)
