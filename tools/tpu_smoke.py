@@ -1,0 +1,91 @@
+"""On-chip smoke of the shipped CLIs at flagship geometry.
+
+Builds a small synthetic PoseTrack dataset, runs `cli.train.Train` for one
+epoch (DeviceLoader, bf16, the exact shipped path) and then `cli.eval.Eval`,
+all on the real TPU.  CI runs the same flow CPU-pinned at tiny geometry
+(tests/test_cli_end_to_end.py); this proves the production configuration on
+hardware.
+
+Usage: python tools/tpu_smoke.py [--batch 4] [--out /tmp/tpu_smoke]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import shutil
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/tpu_smoke")
+    args = ap.parse_args()
+
+    from otpose_tpu.utils.backend import ensure_live_backend
+    ensure_live_backend()
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__)))))
+    from tests.helpers.synthetic_data import make_synthetic_posetrack
+
+    from otpose_tpu.config import default_parse_args
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    root = args.out
+    shutil.rmtree(root, ignore_errors=True)
+    json_dir, img_dir, annot_dir = make_synthetic_posetrack(
+        root, num_videos=1, frames_per_video=4, people_per_frame=2,
+        img_w=640, img_h=512)
+
+    cfg = flagship_otpose_cfg()
+    cfg.EXPERIMENT_NAME = "tpu_smoke"
+    cfg.OUTPUT_DIR = osp.join(root, "output")
+    cfg.DATASET.NAME = "PoseTrack"
+    cfg.DATASET.JSON_DIR = json_dir
+    cfg.DATASET.IMG_DIR = img_dir
+    cfg.DATASET.TEST_IMG_DIR = img_dir
+    cfg.DATASET.COLOR_RGB = True
+    cfg.VAL.ANNOT_DIR = annot_dir
+    cfg.VAL.USE_GT_BBOX = True
+    cfg.VAL.BATCH_SIZE_PER_GPU = args.batch
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = args.batch
+    cfg.TRAIN.END_EPOCH = 1
+    cfg.TRAIN.SAVE_MODEL_PER_EPOCH = 1
+    cfg.TRAIN.PROB_HALF_BODY = 0.0
+    cfg.WORKERS = 2
+    cfg.PRINT_FREQ = 1
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    yaml_path = osp.join(root, "smoke.yaml")
+    with open(yaml_path, "w") as f:
+        f.write(cfg.dump())
+
+    t0 = time.perf_counter()
+    from otpose_tpu.cli.train import Train
+
+    trainer = Train(default_parse_args(["--cfg", yaml_path,
+                                        "--root_dir", root]))
+    state = trainer.train()
+    print(f"TRAIN OK: steps={int(state.step)} "
+          f"({time.perf_counter() - t0:.0f}s incl. compile)")
+
+    t0 = time.perf_counter()
+    from otpose_tpu.cli.eval import Eval
+
+    ev = Eval("validate", default_parse_args(["--cfg", yaml_path,
+                                              "--root_dir", root]))
+    results = ev.eval()
+    _, name_values, mean_ap = results[0]
+    assert np.isfinite(mean_ap), name_values
+    print(f"EVAL OK: mAP={mean_ap:.2f} "
+          f"({time.perf_counter() - t0:.0f}s incl. compile)")
+    print("TPU SMOKE PASSED")
+
+
+if __name__ == "__main__":
+    main()
