@@ -93,3 +93,15 @@ def test_dataset_name():
     assert get_dataset_name(cfg) == "PoseTrack17"
     cfg.DATASET.IS_2018 = True
     assert get_dataset_name(cfg) == "PoseTrack18"
+
+
+def test_inference_yaml_parses():
+    """configs/17/model_RSN_inference.yaml (ref: same path) parses and keeps
+    the model spec of model_RSN.yaml."""
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
+                                     "configs", "17",
+                                     "model_RSN_inference.yaml"))
+    assert cfg.MODEL.NAME == "OTPose"
+    assert list(cfg.MODEL.DEFORMABLE_CONV.DILATION) == [3, 6, 9, 12, 15]
+    assert cfg.WORKERS == 8
