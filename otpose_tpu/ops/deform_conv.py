@@ -211,10 +211,18 @@ def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarra
     tap_dy_all = jnp.floor(ki / kernel) * dilation
     tap_dx_all = (ki % kernel) * dilation
 
-    def tap_body(carry, k_idx):
+    # per-tap slices as explicit scan xs (not closed-over dynamic indexing)
+    # so the scan VJP emits d(offsets)/d(mask) slices via in-place DUS
+    # stacking instead of a full-buffer scatter-add per tap — see the
+    # matching comment in modulated_deform_conv_multi
+    off_t = off.transpose(3, 0, 1, 2, 4)       # (K2, B, P, dg, 2)
+    msk_t = m_all.transpose(3, 0, 1, 2)        # (K2, B, P, dg)
+
+    def tap_body(carry, xs):
         acc = carry
-        sy = base_y[None, :, None] + tap_dy_all[k_idx] + off[:, :, :, k_idx, 0]
-        sx = base_x[None, :, None] + tap_dx_all[k_idx] + off[:, :, :, k_idx, 1]
+        off_i, msk_i, wk_i, dy_i, dx_i = xs
+        sy = base_y[None, :, None] + dy_i + off_i[..., 0]
+        sx = base_x[None, :, None] + dx_i + off_i[..., 1]
         # tent weights (B, P, dg, H) / (B, P, dg, W)
         wy = jnp.maximum(1.0 - jnp.abs(sy[..., None] - iota_h), 0.0)
         wx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - iota_w), 0.0)
@@ -224,9 +232,9 @@ def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarra
         # x-contraction (VPU): (B, P, dg, W, cpg) * (B, P, dg, W)
         sampled = jnp.einsum("bpgwc,bpgw->bpgc", a, wx,
                              preferred_element_type=f32)
-        sampled = sampled * m_all[:, :, :, k_idx, None]
+        sampled = sampled * msk_i[..., None]
         # weight contraction for this tap
-        acc = acc + jnp.einsum("bpgc,gco->bpo", sampled, wk_all[k_idx],
+        acc = acc + jnp.einsum("bpgc,gco->bpo", sampled, wk_i,
                                preferred_element_type=f32)
         return acc, None
 
@@ -234,7 +242,8 @@ def modulated_deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarra
     # remat: without it the scan's linearization stores the (P, H)/(P, W)
     # tent tensors for every tap and the backward OOMs; recomputing them is
     # a few ms of MXU time
-    out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0, jnp.arange(k2))
+    out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0,
+                          (off_t, msk_t, wk_all, tap_dy_all, tap_dx_all))
     out = out.reshape(b, ho, wo, -1)
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -316,11 +325,22 @@ def modulated_deform_conv_multi(x: jnp.ndarray, offsets_list, masks_list,
 
     xg1 = xg[..., 0] if cpg == 1 else None  # (B, H, W, G)
 
-    def tap_body(acc, i):
-        di = i // k2
-        k = i % k2
-        sy = base_y[None, :, None] + tap_table[i, 0] + off[di, :, :, :, k, 0]
-        sx = base_x[None, :, None] + tap_table[i, 1] + off[di, :, :, :, k, 1]
+    # per-tap slices ride the scan as explicit xs (leading dim D*K2) instead
+    # of being closed over and dynamically indexed by the loop counter: the
+    # VJP of a scan writes d(xs) slices with in-place dynamic-update-slice
+    # (scan's native stacking), whereas dynamic indexing turns the offsets
+    # cotangent into a full-buffer scatter-add — a trace of the flagship
+    # train step showed that scatter as a 150 ms serial while loop plus a
+    # ~66 ms select_add pass over the f32 (D,B,P,G,K2,2) buffer (~45% of
+    # the 485 ms step); see STATUS.md round-2 perf log
+    off_t = off.transpose(0, 4, 1, 2, 3, 5).reshape(d * k2, b, p, dg, 2)
+    msk_t = msk.transpose(0, 4, 1, 2, 3).reshape(d * k2, b, p, dg)
+    wk_t = wk.reshape(d * k2, dg, cpg, -1)
+
+    def tap_body(acc, xs):
+        off_i, msk_i, wk_i, tap_i = xs
+        sy = base_y[None, :, None] + tap_i[0] + off_i[..., 0]
+        sx = base_x[None, :, None] + tap_i[1] + off_i[..., 1]
         wy = jnp.maximum(1.0 - jnp.abs(sy[..., None] - iota_h), 0.0).astype(cd)
         wx = jnp.maximum(1.0 - jnp.abs(sx[..., None] - iota_w), 0.0).astype(cd)
         if cpg == 1:
@@ -332,20 +352,21 @@ def modulated_deform_conv_multi(x: jnp.ndarray, offsets_list, masks_list,
                            preferred_element_type=preferred)
             sampled = jnp.einsum("bgwp,bpgw->bpg", a, wx,
                                  preferred_element_type=preferred)
-            sampled = (sampled * msk[di, :, :, :, k])[..., None]
+            sampled = (sampled * msk_i)[..., None]
         else:
             a = jnp.einsum("bpgy,bywgc->bpgwc", wy, xg,
                            preferred_element_type=preferred)
             sampled = jnp.einsum("bpgwc,bpgw->bpgc", a, wx,
                                  preferred_element_type=preferred)
-            sampled = sampled * msk[di, :, :, :, k, None]
+            sampled = sampled * msk_i[..., None]
         # f32 carry regardless of compute dtype (45-tap running sum)
-        acc = acc + jnp.einsum("bpgc,gco->bpo", sampled, wk[di, k],
+        acc = acc + jnp.einsum("bpgc,gco->bpo", sampled, wk_i,
                                preferred_element_type=preferred).astype(f32)
         return acc, None
 
     out0 = jnp.zeros((b, p, weights.shape[-1]), f32)
-    out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0, jnp.arange(d * k2))
+    out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0,
+                          (off_t, msk_t, wk_t, tap_table))
     out = out / d
     if biases is not None:
         out = out + jnp.mean(biases.astype(f32), axis=0)

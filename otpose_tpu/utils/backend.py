@@ -47,6 +47,24 @@ def _axon_requested() -> bool:
     return bool(os.environ.get("PALLAS_AXON_TPU_GEN"))
 
 
+def enable_compile_cache() -> None:
+    """Point JAX at the persistent on-disk compilation cache.
+
+    The flagship train step takes ~15-20 min to compile for TPU; tools and
+    CLIs that rebuild it from scratch every process are unusable without
+    this.  Same cache dir as tests/conftest.py; opt out with
+    OTPOSE_NO_JAX_CACHE=1 (e.g. when timing cold compiles).
+    """
+    if os.environ.get("OTPOSE_NO_JAX_CACHE") == "1":
+        return
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "otpose_tpu", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+
 def ensure_live_backend(verbose: bool = True) -> str:
     """Pin JAX to CPU if the axon TPU relay is unreachable.
 
@@ -54,7 +72,11 @@ def ensure_live_backend(verbose: bool = True) -> str:
     before the first JAX backend initialization; the axon plugin ignores
     later changes (and ignores JAX_PLATFORMS entirely, so the fallback goes
     through ``jax.config.update`` as CLAUDE.md documents).
+
+    Also enables the persistent compilation cache (see
+    ``enable_compile_cache``) — every unattended entry point wants both.
     """
+    enable_compile_cache()
     if not _axon_requested():
         return os.environ.get("JAX_PLATFORMS", "cpu") or "cpu"
     if axon_relay_alive():

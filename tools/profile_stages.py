@@ -4,7 +4,9 @@ Times each model stage in isolation (chained jit iterations, scalar-fetch
 fence — see bench.py for why block_until_ready is not enough here) and prints
 a breakdown table.  Used to target perf work; results recorded in STATUS.md.
 
-Usage:  python tools/profile_stages.py [--batch 16] [--iters 10] [--train]
+Usage:  python tools/profile_stages.py [--batch 16] [--iters 10]
+(train-step timing lives in tools/time_train_step.py; op-level traces in
+tools/trace_ops.py)
 """
 
 from __future__ import annotations
@@ -42,8 +44,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--train", action="store_true",
-                    help="profile the train step stages (fwd+bwd)")
     ap.add_argument("--stages", type=str, default="",
                     help="comma-separated subset to run")
     args = ap.parse_args()

@@ -74,6 +74,32 @@ def main():
                                             spec.temporal_spec())[0]
 
         fn, fargs = jax.jit(f), (params, state, x)
+    elif args.stage == "train_step":
+        # full train step (fwd+bwd+AdamW, shipped no-remat default) so the
+        # backward-pass buckets are visible — batch 8 matches the
+        # time_train_step.py number of record
+        from otpose_tpu.engine.optim import make_optimizer, make_schedule
+        from otpose_tpu.engine.trainer import (TrainState, make_train_step)
+        from otpose_tpu.utils.testing import flagship_otpose_cfg as _cfg
+
+        cfg = _cfg()
+        opt = make_optimizer(params, cfg, make_schedule(cfg, 1000))
+        step = make_train_step(spec, opt, compute_dtype=dt, remat=False,
+                               donate=False)
+        batch = {
+            "inputs": jnp.asarray(rng.randn(b, 384, 288, 15), jnp.float32),
+            "margin": jnp.ones((b, 4), jnp.float32),
+            "target": jnp.asarray(rng.rand(b, 96, 72, 17), jnp.float32),
+            "target_weight": jnp.ones((b, 17, 1), jnp.float32),
+        }
+        ts = TrainState(params, state, opt.init(params), jnp.zeros([], jnp.int32))
+        key = jax.random.PRNGKey(1)
+
+        def fn(ts_):
+            _, metrics = step(ts_, batch, key)
+            return metrics["final_loss"]
+
+        fargs = (ts,)
     else:
         x = jnp.asarray(rng.randn(b, 384, 288, 15), jnp.float32)
         margin = jnp.ones((b, 4), jnp.float32)

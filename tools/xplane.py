@@ -91,7 +91,10 @@ def parse_plane(buf: bytes):
             for f2, _w2, v2 in _fields(val):
                 if f2 == 2:
                     lname = v2.decode("utf-8", "replace")
-                elif f2 == 6:
+                elif f2 in (4, 6):
+                    # XLine.events: field 6 in current tsl xplane.proto, but
+                    # this runtime's profiler emits it as field 4 (older
+                    # schema) — accept both (XEvent fields are identical)
                     mid, dur = 0, 0
                     for f3, _w3, v3 in _fields(v2):
                         if f3 == 1:
