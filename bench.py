@@ -17,15 +17,76 @@ BENCH_SKIP_CPU=1 skips fresh baseline measurement.
 jpeg decode, device-side warp/normalize/target-gen (DeviceLoader), forward,
 loss, backward, AdamW — on a synthetic flagship-geometry PoseTrack dataset
 (clips/sec incl. the input pipeline; VERDICT r1 task 1b).
+
+Un-hangable by construction (VERDICT r2 task 1): a daemon watchdog thread
+emits a diagnostic JSON line ``{"metric", "value": null, "error": "timeout
+at <phase>"}`` and hard-exits if the global deadline (BENCH_WATCHDOG_SECS,
+default 480 s) or the pre-flight phase deadline (BENCH_PREFLIGHT_SECS,
+default 270 s — axon backend init is ~135 s on a healthy tunnel) expires.
+The pre-flight is a tiny jitted fetch in-process *before* the flagship
+compile, so a wedged chip/tunnel dies at the short deadline with a named
+phase instead of burning the whole budget.  A wedged chip cannot be
+"downgraded" mid-process (backend init is process-global and the flagship
+CPU compile alone exceeds any sane deadline), so the diagnostic line IS the
+fallback artifact; a *dead relay* (port closed) still downgrades to the
+CPU-tagged path before JAX initializes, as before.  The measured value is
+printed immediately after measurement — baseline lookups only read the
+committed caches; fresh baseline measurement happens after the line is out.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Watchdog: guarantees ONE parseable JSON line no matter where we hang.
+_WATCHDOG = {
+    "t0": None,            # monotonic start
+    "phase": "startup",
+    "phase_deadline": None,  # absolute monotonic, or None
+    "metric": "posetrack17_eval_forward_clips_per_sec_per_chip",
+    "done": False,
+}
+
+
+def _set_phase(name: str, timeout: float | None = None) -> None:
+    _WATCHDOG["phase"] = name
+    _WATCHDOG["phase_deadline"] = (
+        time.monotonic() + timeout if timeout else None)
+
+
+def _watchdog_loop(global_deadline: float) -> None:
+    while not _WATCHDOG["done"]:
+        time.sleep(2.0)
+        now = time.monotonic()
+        elapsed = now - _WATCHDOG["t0"]
+        phase_dl = _WATCHDOG["phase_deadline"]
+        if _WATCHDOG["done"]:
+            return
+        if elapsed > global_deadline or (phase_dl and now > phase_dl):
+            print(json.dumps({
+                "metric": _WATCHDOG["metric"],
+                "value": None,
+                "unit": "clips/sec",
+                "vs_baseline": None,
+                "error": "timeout at %s after %.0fs" % (
+                    _WATCHDOG["phase"], elapsed),
+            }), flush=True)
+            # hard exit: a hung backend thread cannot be joined; rc 0 so the
+            # driver records the diagnostic line rather than a bare timeout
+            os._exit(0)
+
+
+def _start_watchdog(metric: str, global_deadline: float) -> None:
+    _WATCHDOG["t0"] = time.monotonic()
+    _WATCHDOG["metric"] = metric
+    threading.Thread(target=_watchdog_loop, args=(global_deadline,),
+                     daemon=True).start()
 
 CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
 # the ACTUAL torch reference model on host CPU (built via the oracle
@@ -225,36 +286,23 @@ def _measure_train_e2e(batch: int, iters: int) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def main():
-    # a dead axon relay makes backend init hang forever; prefer an honest
-    # CPU-tagged measurement over producing no JSON line at all
-    from otpose_tpu.utils.backend import ensure_live_backend
-
-    ensure_live_backend()
-    import jax
-
-    backend = jax.default_backend()
-    import jax.numpy as jnp
-
-    if os.environ.get("BENCH_MODE") == "train":
-        value = _measure_train_e2e(int(os.environ.get("BENCH_BATCH", "8")),
-                                   int(os.environ.get("BENCH_ITERS", "24")))
-        print(json.dumps({
-            "metric": f"posetrack17_train_e2e_clips_per_sec_per_chip[{backend}]",
-            "value": round(value, 3),
-            "unit": "clips/sec",
-            "vs_baseline": None,
-        }))
-        return
-
-    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
-    value = _measure(BATCH, ITERS, dtype)
-
-    # preferred baseline: the actual torch reference on host CPU
-    torch_clips = None
+def _cached_baseline_clips() -> float | None:
+    """Read-only baseline lookup — both caches are committed to the repo, so
+    this is instant; fresh measurement is deliberately NOT done here (it runs
+    after the JSON line is printed, see main)."""
     if os.path.exists(TORCH_BASELINE_CACHE):
-        torch_clips = json.load(open(TORCH_BASELINE_CACHE))["torch_cpu_clips_per_sec"]
-    elif os.environ.get("BENCH_SKIP_CPU") != "1" and os.path.isdir("/root/reference"):
+        return json.load(open(TORCH_BASELINE_CACHE))["torch_cpu_clips_per_sec"]
+    if os.path.exists(CPU_BASELINE_CACHE):
+        return json.load(open(CPU_BASELINE_CACHE))["cpu_clips_per_sec"]
+    return None
+
+
+def _refresh_baseline_caches() -> None:
+    """Measure a missing baseline cache (post-print; never on the driver's
+    critical path since both caches ship with the repo)."""
+    if os.environ.get("BENCH_SKIP_CPU") == "1":
+        return
+    if not os.path.exists(TORCH_BASELINE_CACHE) and os.path.isdir("/root/reference"):
         try:
             torch_clips = _measure_torch_reference_cpu()
             json.dump({"torch_cpu_clips_per_sec": torch_clips},
@@ -262,44 +310,63 @@ def main():
         except Exception:
             pass
 
-    cpu_clips = None
-    if torch_clips is not None:
-        pass  # self-proxy not needed
-    elif os.path.exists(CPU_BASELINE_CACHE):
-        # the CPU proxy takes ~25 min to compile+run; use the recorded number
-        cpu_clips = json.load(open(CPU_BASELINE_CACHE))["cpu_clips_per_sec"]
-    elif os.environ.get("BENCH_SKIP_CPU") != "1" and backend != "cpu":
-        # measure the CPU proxy in a subprocess pinned to CPU
-        import subprocess, sys
-        code = (
-            "import jax; jax.config.update('jax_platforms','cpu');"
-            "import sys; sys.path.insert(0, %r);"
-            "import bench, json;"
-            "print('CPU_RESULT', bench._measure(1, 2, None))"
-            % os.path.dirname(os.path.abspath(__file__))
-        )
-        try:
-            out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                                 text=True, timeout=900,
-                                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            for line in out.stdout.splitlines():
-                if line.startswith("CPU_RESULT"):
-                    cpu_clips = float(line.split()[1])
-                    json.dump({"cpu_clips_per_sec": cpu_clips},
-                              open(CPU_BASELINE_CACHE, "w"))
-        except Exception:
-            pass
-    if cpu_clips is None and os.path.exists(CPU_BASELINE_CACHE):
-        cpu_clips = json.load(open(CPU_BASELINE_CACHE))["cpu_clips_per_sec"]
 
-    baseline_clips = torch_clips if torch_clips is not None else cpu_clips
+def main():
+    train_mode = os.environ.get("BENCH_MODE") == "train"
+    metric_base = ("posetrack17_train_e2e_clips_per_sec_per_chip" if train_mode
+                   else "posetrack17_eval_forward_clips_per_sec_per_chip")
+    _start_watchdog(metric_base,
+                    float(os.environ.get("BENCH_WATCHDOG_SECS", "480")))
+
+    # a dead axon relay makes backend init hang forever; the port probe runs
+    # before any JAX import and pins CPU if the relay is gone
+    _set_phase("relay port probe")
+    from otpose_tpu.utils.backend import ensure_live_backend
+
+    ensure_live_backend()
+
+    # pre-flight: a tiny jitted fetch is the first device op.  On a healthy
+    # tunnel this completes in ~135 s (axon init) + ms; a wedged chip hangs
+    # here and the watchdog emits "timeout at preflight..." at the short
+    # deadline instead of eating the global budget.
+    _set_phase("preflight tiny jit fetch (backend init)",
+               timeout=float(os.environ.get("BENCH_PREFLIGHT_SECS", "270")))
+    import jax
+    import jax.numpy as jnp
+
+    float(np.asarray(jax.jit(lambda a: a + 1.0)(jnp.float32(1.0))))
+    backend = jax.default_backend()
+    _WATCHDOG["metric"] = f"{metric_base}[{backend}]"
+
+    if train_mode:
+        _set_phase("train e2e compile + measure")
+        value = _measure_train_e2e(int(os.environ.get("BENCH_BATCH", "8")),
+                                   int(os.environ.get("BENCH_ITERS", "24")))
+        print(json.dumps({
+            "metric": f"{metric_base}[{backend}]",
+            "value": round(value, 3),
+            "unit": "clips/sec",
+            "vs_baseline": None,
+        }), flush=True)
+        _WATCHDOG["done"] = True
+        return
+
+    _set_phase("flagship compile + measure")
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    value = _measure(BATCH, ITERS, dtype)
+
+    # print the measured value IMMEDIATELY — vs_baseline from caches only
+    baseline_clips = _cached_baseline_clips()
     vs_baseline = value / (5 * baseline_clips) if baseline_clips else None
     print(json.dumps({
-        "metric": f"posetrack17_eval_forward_clips_per_sec_per_chip[{backend}]",
+        "metric": f"{metric_base}[{backend}]",
         "value": round(value, 3),
         "unit": "clips/sec",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-    }))
+    }), flush=True)
+    _WATCHDOG["done"] = True
+
+    _refresh_baseline_caches()
 
 
 if __name__ == "__main__":

@@ -75,15 +75,28 @@ def ensure_live_backend(verbose: bool = True) -> str:
 
     Also enables the persistent compilation cache (see
     ``enable_compile_cache``) — every unattended entry point wants both.
+    The relay port probe runs *before* anything imports jax, so the guard
+    does not depend on ``import jax`` staying hang-safe (it currently is —
+    only backend init dials the tunnel — but plugin import behavior is not
+    ours to rely on).
     """
-    enable_compile_cache()
     if not _axon_requested():
-        return os.environ.get("JAX_PLATFORMS", "cpu") or "cpu"
+        platforms = os.environ.get("JAX_PLATFORMS", "cpu") or "cpu"
+        if platforms == "cpu" and os.environ.get("PALLAS_AXON_TPU_GEN"):
+            # the axon plugin ignores the JAX_PLATFORMS env var entirely; an
+            # explicit cpu request must be pinned through jax.config to stick
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        enable_compile_cache()
+        return platforms
     if axon_relay_alive():
+        enable_compile_cache()
         return "axon"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    enable_compile_cache()
     if verbose:
         import sys
 

@@ -1,6 +1,10 @@
 """Tests for the axon relay liveness guard (otpose_tpu/utils/backend.py)."""
 
+import json
+import os
 import socket
+import subprocess
+import sys
 import threading
 
 from otpose_tpu.utils import backend
@@ -59,6 +63,27 @@ def test_ensure_live_backend_falls_back_to_cpu(monkeypatch):
 def test_ensure_live_backend_noop_when_cpu(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert backend.ensure_live_backend(verbose=False) == "cpu"
+
+
+def test_bench_watchdog_emits_parseable_line():
+    """bench.py must ALWAYS produce one parseable JSON line (VERDICT r2
+    task 1): with a deliberately tiny global deadline on CPU, the watchdog
+    fires during the flagship compile and prints a diagnostic line with
+    value=null + a named phase, exiting 0."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_WATCHDOG_SECS="15",
+               BENCH_SKIP_CPU="1")
+    env.pop("XLA_FLAGS", None)  # no virtual-device mesh in the subprocess
+    out = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                         capture_output=True, text=True, timeout=300,
+                         cwd=repo, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] is None
+    assert "timeout at" in rec["error"]
+    assert rec["metric"].startswith("posetrack17_eval_forward")
 
 
 def _free_port() -> int:
