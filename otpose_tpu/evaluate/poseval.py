@@ -71,6 +71,11 @@ def _frame_arrays(rects, want_scores: bool):
             i = p["id"][0]
             if i < 0 or i >= N_JOINTS:
                 continue
+            if has[ridx, i]:
+                # duplicate joint id in one rect: keep the FIRST occurrence
+                # (ref: evaluate.py:452-459 get_point_gt_by_id breaks on the
+                # first match; caught by test_poseval_differential)
+                continue
             xy[ridx, i] = (p["x"][0], p["y"][0])
             has[ridx, i] = True
             if want_scores:
@@ -192,7 +197,12 @@ def compute_rpc(scores: np.ndarray, labels: np.ndarray, total_pos: float):
     labels_sorted = np.asarray(labels)[order]
     tp = np.cumsum(labels_sorted == 1)
     n = np.arange(1, len(order) + 1)
-    recall = tp / total_pos if total_pos > 0 else np.zeros(len(order))
+    # total_pos == 0 with predictions present must produce NaN recall -> NaN
+    # AP, which compute_metrics then EXCLUDES from the mean (ref: 700-707,
+    # 725-727).  Clamping to 0 instead would wrongly deflate the mean AP —
+    # caught by tests/test_poseval_differential.py.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        recall = np.asarray(tp, np.float64) / float(total_pos)
     precision = tp / n
     return precision, recall, order
 
