@@ -107,6 +107,14 @@ class Eval(RunBase):
         (ref: eval.py:97-116)."""
         init_params, init_state = init_otpose(jax.random.PRNGKey(0), self.spec)
         blob = ckpt.restore_checkpoint(model_file)
+        if self.pe_name == "MSRA":
+            # MSRA checkpoints store the pose net under a
+            # 'rough_pose_estimation_net.' prefix (ref: eval.py:109-111)
+            strip = "rough_pose_estimation_net."
+            for part in ("params", "model_state"):
+                blob[part] = {
+                    (k[len(strip):] if k.startswith(strip) else k): v
+                    for k, v in blob.get(part, {}).items()}
         params, model_state, n = ckpt.merge_checkpoint(blob, init_params,
                                                        init_state)
         logger.info("=> loaded %d/%d tensors", n, len(params))

@@ -26,6 +26,21 @@ class RunBase:
     def __init__(self, phase: str, args=None, cfg=None):
         self.phase = phase
         self.args = args if args is not None else default_parse_args()
+        # --PE_Name semantics (ref: eval.py:109-111, script/Common.py:111-120):
+        # OTPOSE is the model; MSRA only changes eval checkpoint loading (the
+        # 'rough_pose_estimation_net.' prefix strip, see cli/eval.Eval._load).
+        # POSETRANSFORMER names a single-frame branch whose model class the
+        # reference cannot even import (script/Common.py:119-120 calls
+        # model(input_x) on a model never built); accepting and silently
+        # running OTPOSE instead would be worse than rejecting it.
+        self.pe_name = str(getattr(self.args, "PE_Name", "OTPOSE")).upper()
+        if self.pe_name not in ("OTPOSE", "MSRA"):
+            raise NotImplementedError(
+                f"--PE_Name {self.pe_name} is not supported: the reference's "
+                "POSETRANSFORMER branch is broken upstream (script/"
+                "Common.py:119-120 forwards a model that is never "
+                "constructed); use OTPOSE, or MSRA for prefix-stripped "
+                "checkpoint loading at eval")
         self.cfg = cfg if cfg is not None else setup(self.args)
         self.output_path_dict = {}
         self._setup_cfg()
