@@ -47,7 +47,11 @@ def main():
     off = [jnp.asarray(rng.randn(b, ho, wo, j * 2 * k2) * 2, dt)
            for _ in range(d)]
     msk = [jnp.asarray(rng.rand(b, ho, wo, j * k2), dt) for _ in range(d)]
-    w = jnp.asarray(rng.randn(d, 3, 3, 1, j) * 0.1, jnp.float32)
+    # (D, Kh, Kw, C, O) = (d, 3, 3, 17, 17): C=17 per the
+    # modulated_deform_conv_multi contract — an earlier (d,3,3,1,j) shape
+    # silently mapped output channels into the group slot (O=1 broadcast),
+    # under-weighting the per-tap weight contraction vs the flagship shape
+    w = jnp.asarray(rng.randn(d, 3, 3, j, j) * 0.1, jnp.float32)
     bias = jnp.asarray(rng.randn(d, j) * 0.01, jnp.float32)
 
     def legacy(x, offs, msks, weights, biases):

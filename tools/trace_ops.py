@@ -36,10 +36,15 @@ def parse_xplane(path: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="hrnet_5b")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default 16, except train_step which defaults to 8 "
+                         "(flagship train without remat only fits 16GB HBM "
+                         "at per-chip batch <= 8)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 8 if args.stage == "train_step" else 16
 
     import jax
     import jax.numpy as jnp

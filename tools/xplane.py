@@ -92,9 +92,10 @@ def parse_plane(buf: bytes):
                 if f2 == 2:
                     lname = v2.decode("utf-8", "replace")
                 elif f2 in (4, 6):
-                    # XLine.events: field 6 in current tsl xplane.proto, but
-                    # this runtime's profiler emits it as field 4 (older
-                    # schema) — accept both (XEvent fields are identical)
+                    # XLine.events is field 4 in the canonical tsl
+                    # xplane.proto (fields 5-8 reserved); 6 was an early
+                    # incorrect guess kept for compatibility — accept both
+                    # (XEvent fields are identical)
                     mid, dur = 0, 0
                     for f3, _w3, v3 in _fields(v2):
                         if f3 == 1:
