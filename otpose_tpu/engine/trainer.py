@@ -196,6 +196,9 @@ def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
                 return jit_sharded(params, model_state, batch)
             return jit_plain(params, model_state, batch)
 
+        # expose the sharded jit for AOT compile gates
+        # (__graft_entry__.dryrun_multichip lowers it at flagship geometry)
+        dispatch.jit_sharded = jit_sharded
         return dispatch
     return jax.jit(build_step(fused))
 

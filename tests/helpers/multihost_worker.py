@@ -41,9 +41,53 @@ def make_batch(seed, b, img=32, hm=8, j=17):
     }
 
 
+def flagship_compile(pid, count):
+    """Compile-only gate: the FLAGSHIP-spec train step lowered + compiled
+    for the 2-process (4-global-device) mesh.  Execution at this scale is
+    impossible on CPU (XLA's hardcoded collective-rendezvous watchdog, see
+    __graft_entry__.dryrun_multichip) — the multi-host gate hardware permits
+    is that the sharded program BUILDS for a multi-process device
+    assignment (VERDICT r2 task 4)."""
+    from otpose_tpu.engine.optim import make_optimizer, make_schedule
+    from otpose_tpu.engine.trainer import init_train_state, make_train_step
+    from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
+    from otpose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from otpose_tpu.utils.testing import flagship_otpose_cfg
+
+    cfg = flagship_otpose_cfg()
+    cfg.TPU.REMAT = True
+    spec = OTPoseSpec.from_cfg(cfg)
+    params, model_state = init_otpose(jax.random.PRNGKey(0), spec)
+    optimizer = make_optimizer(params, cfg, make_schedule(cfg, 4))
+    step_fn = make_train_step(spec, optimizer, donate=False, remat=True)
+    mesh = make_mesh(cfg)
+    with jax.sharding.set_mesh(mesh):
+        ts = init_train_state(replicate(mesh, params),
+                              replicate(mesh, model_state), optimizer)
+        b = jax.device_count()  # one clip per global device
+        lo, hi = distributed.local_row_block(b)
+        host = make_batch(7, b, img=384, hm=96)
+        # the flagship batch dims are (B, 384, 288, 15)/(B, 96, 72, 17):
+        host["inputs"] = host["inputs"][..., :288, :]
+        host["target"] = host["target"][..., :72, :]
+        local = {k: v[lo:hi] for k, v in host.items()}
+        batch = shard_batch(mesh, local)
+        compiled = step_fn.lower(ts, batch, jax.random.PRNGKey(1)).compile()
+        cost = compiled.cost_analysis() or {}
+        # generous skew allowance: one process may hit the compile cache the
+        # other is still writing (concurrent ~10-min XLA CPU compiles)
+        distributed.barrier("flagship-compiled", timeout_s=2400)
+    print(f"FLAGSHIP_COMPILE_OK pid={pid}/{count} "
+          f"flops={cost.get('flops', float('nan')):.3e}", flush=True)
+
+
 def main(out_path):
     pid, count = distributed.maybe_initialize()
     assert jax.device_count() == 4, jax.devices()
+
+    if os.environ.get("OTPOSE_FLAGSHIP_COMPILE") == "1":
+        flagship_compile(pid, count)
+        return
 
     from otpose_tpu.engine.optim import make_optimizer, make_schedule
     from otpose_tpu.engine.trainer import init_train_state, make_train_step

@@ -115,6 +115,37 @@ def _spawn(out, extra_env, ckpt_dir=None):
 
 
 @pytest.mark.slow
+def test_two_process_flagship_compile(tmp_path):
+    """Flagship-spec (HRNet-W48, 5-dilation, full geometry) train step
+    lowers + compiles for a 2-process 4-device mesh (compile-only: XLA
+    CPU's collective rendezvous watchdog forbids flagship-scale execution
+    on virtual devices — same rationale as __graft_entry__.py's flagship
+    dryrun; VERDICT r2 task 4)."""
+    port = _free_port()
+    common = {"OTPOSE_COORDINATOR": f"127.0.0.1:{port}",
+              "OTPOSE_NUM_PROCESSES": "2", "_LOCAL": "2",
+              "OTPOSE_FLAGSHIP_COMPILE": "1"}
+    p0 = _spawn("/dev/null", dict(common, OTPOSE_PROCESS_ID="0"))
+    p1 = _spawn("/dev/null", dict(common, OTPOSE_PROCESS_ID="1"))
+    logs = {}
+    try:
+        for name, p in (("p0", p0), ("p1", p1)):
+            try:
+                logs[name], _ = p.communicate(timeout=2400)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                raise
+    finally:
+        for p in (p0, p1):
+            if p.poll() is None:
+                p.kill()
+    assert p0.returncode == 0 and "FLAGSHIP_COMPILE_OK" in logs["p0"], \
+        logs["p0"][-3000:]
+    assert p1.returncode == 0 and "FLAGSHIP_COMPILE_OK" in logs["p1"], \
+        logs["p1"][-3000:]
+
+
+@pytest.mark.slow
 def test_two_process_training_matches_single(tmp_path):
     """2-process Gloo run == single-process run (atol 5e-6, the same bar
     as test_data_parallel_matches_single_device), including a multihost

@@ -84,6 +84,51 @@ def main():
     assert np.isfinite(mean_ap), name_values
     print(f"EVAL OK: mAP={mean_ap:.2f} "
           f"({time.perf_counter() - t0:.0f}s incl. compile)")
+
+    # export the checkpoint to a TPU-lowered serving artifact and answer one
+    # HTTP request against it (VERDICT r2 task 5: the serving story executed
+    # on the chip, not just CPU round-tripped in tests/test_export.py)
+    t0 = time.perf_counter()
+    import io
+    import json as json_mod
+    import threading
+    import urllib.request
+
+    from otpose_tpu.cli.export import Export
+
+    artifact = Export(default_parse_args(["--cfg", yaml_path,
+                                          "--root_dir", root])).export(
+        batch_size=args.batch, out_dir=osp.join(root, "artifact"))
+    print(f"EXPORT OK: {artifact} "
+          f"({time.perf_counter() - t0:.0f}s incl. lowering)")
+
+    t0 = time.perf_counter()
+    from tools.serve import make_server
+
+    srv = make_server(artifact, port=0)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        health = json_mod.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=120).read())
+        assert health["batch_size"] == args.batch, health
+        rng = np.random.RandomState(0)
+        buf = io.BytesIO()
+        np.savez(buf, inputs=rng.randn(1, 384, 288, 15).astype(np.float32),
+                 margin=np.ones((1, 4), np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        resp = json_mod.loads(urllib.request.urlopen(req, timeout=300).read())
+        coords = np.asarray(resp["coords"])
+        assert coords.shape == (1, 17, 2) and np.all(np.isfinite(coords)), \
+            coords.shape
+    finally:
+        srv.shutdown()
+        thread.join()
+    print(f"SERVE OK: predicted keypoints {coords.shape} from the TPU-lowered "
+          f"artifact ({time.perf_counter() - t0:.0f}s incl. warmup)")
     print("TPU SMOKE PASSED")
 
 

@@ -89,8 +89,12 @@ def main():
 
         cfg = _cfg()
         opt = make_optimizer(params, cfg, make_schedule(cfg, 1000))
+        # donate=True to match the shipped trainer + time_train_step.py
+        # exactly: donate=False adds a full params/opt-state copy per step
+        # and pushed buffers into alternate memory space in a round-3 trace
+        # (2266 ms/iter traced vs 394 measured) — trace the real program.
         step = make_train_step(spec, opt, compute_dtype=dt, remat=False,
-                               donate=False)
+                               donate=True)
         batch = {
             "inputs": jnp.asarray(rng.randn(b, 384, 288, 15), jnp.float32),
             "margin": jnp.ones((b, 4), jnp.float32),
@@ -100,11 +104,18 @@ def main():
         ts = TrainState(params, state, opt.init(params), jnp.zeros([], jnp.int32))
         key = jax.random.PRNGKey(1)
 
-        def fn(ts_):
-            _, metrics = step(ts_, batch, key)
-            return metrics["final_loss"]
+        class _Stateful:
+            """Thread the donated TrainState across iterations; expose the
+            same fn(*fargs) surface the other stages use."""
 
-        fargs = (ts,)
+            def __init__(self, ts0):
+                self.ts = ts0
+
+            def __call__(self):
+                self.ts, metrics = step(self.ts, batch, key)
+                return metrics["final_loss"]
+
+        fn, fargs = _Stateful(ts), ()
     else:
         x = jnp.asarray(rng.randn(b, 384, 288, 15), jnp.float32)
         margin = jnp.ones((b, 4), jnp.float32)
