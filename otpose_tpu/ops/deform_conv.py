@@ -271,12 +271,14 @@ def deform_conv(x: jnp.ndarray, offsets: jnp.ndarray, weight: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding_list",
-                                             "dilation_list", "deformable_groups"))
+                                             "dilation_list", "deformable_groups",
+                                             "unroll"))
 def modulated_deform_conv_multi(x: jnp.ndarray, offsets_list, masks_list,
                                 weights, biases, *, kernel: int = 3,
                                 stride: int = 1, padding_list=(1,),
                                 dilation_list=(1,),
-                                deformable_groups: int = 1) -> jnp.ndarray:
+                                deformable_groups: int = 1,
+                                unroll: int = 1) -> jnp.ndarray:
     """Mean of D modulated deformable convs over the same input in ONE scan
     of D*K*K taps (the OTPose refinement averages its 5 dilation branches,
     ref: OTPose.py:387-392; fusing shares the input staging and removes
@@ -365,8 +367,12 @@ def modulated_deform_conv_multi(x: jnp.ndarray, offsets_list, masks_list,
         return acc, None
 
     out0 = jnp.zeros((b, p, weights.shape[-1]), f32)
+    # ``unroll`` replicates the (checkpointed) body inside one loop step so
+    # XLA can software-pipeline tap i+1's VPU tent construction against tap
+    # i's MXU contraction; it multiplies live tent transients by the unroll
+    # factor, so keep it small (see tools/exp_deform_unroll.py receipts)
     out, _ = jax.lax.scan(jax.checkpoint(tap_body), out0,
-                          (off_t, msk_t, wk_t, tap_table))
+                          (off_t, msk_t, wk_t, tap_table), unroll=unroll)
     out = out / d
     if biases is not None:
         out = out + jnp.mean(biases.astype(f32), axis=0)

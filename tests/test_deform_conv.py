@@ -188,6 +188,40 @@ def test_multi_dilation_equals_mean_of_singles(rng):
     np.testing.assert_allclose(np.asarray(fused), expected, atol=1e-4)
 
 
+def test_multi_unroll_is_exact(rng):
+    """`unroll` is a pure scheduling knob: the unrolled scan must reproduce
+    unroll=1 bitwise (same carry-chain order) for values AND gradients."""
+    from otpose_tpu.ops.deform_conv import modulated_deform_conv_multi
+    import jax
+    import jax.numpy as jnp
+
+    b, c, h, w, dg = 2, 4, 8, 8, 4
+    dilations = (1, 2)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    offs = [jnp.asarray((rng.randn(b, h, w, dg * 18) * 2).astype(np.float32))
+            for _ in dilations]
+    msks = [jnp.asarray(rng.rand(b, h, w, dg * 9).astype(np.float32))
+            for _ in dilations]
+    wgts = jnp.stack([jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32))
+                      for _ in dilations])
+
+    def loss(x, offs, msks, wgts, unroll):
+        out = modulated_deform_conv_multi(
+            x, offs, msks, wgts, None, kernel=3, stride=1,
+            padding_list=dilations, dilation_list=dilations,
+            deformable_groups=dg, unroll=unroll)
+        return jnp.sum(out)
+
+    g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))
+    v1, g1 = g(x, offs, msks, wgts, 1)
+    for unroll in (3, 18):  # partial and full (2*9 taps)
+        vu, gu = g(x, offs, msks, wgts, unroll)
+        assert float(v1) == float(vu)
+        for a, b2 in zip(jax.tree_util.tree_leaves(g1),
+                         jax.tree_util.tree_leaves(gu)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
 def test_deform_conv_v1_equals_modulated_with_ones_mask(rng):
     """DCNv1 package-API parity (ref: thirdparty/deform_conv/functions/
     deform_conv.py::deform_conv): unmodulated == mask-of-ones DCNv2."""
