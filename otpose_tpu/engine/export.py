@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from otpose_tpu.engine.trainer import make_decoded_eval_step, make_eval_step
 from otpose_tpu.models.otpose import OTPoseSpec, prepare_eval_params
+from otpose_tpu.parallel.mesh import null_mesh_context
 
 _META_NAME = "otpose_export.json"
 _BLOB_NAME = "otpose_eval.stablehlo"
@@ -69,8 +70,13 @@ def export_eval(spec: OTPoseSpec, params, model_state, *, batch_size: int,
 
     args = (jax.ShapeDtypeStruct((batch_size, h, w, 15), jnp.float32),
             jax.ShapeDtypeStruct((batch_size, 4), jnp.float32))
-    exported = jax.export.export(jax.jit(serve),
-                                 platforms=list(platforms))(*args)
+    # The artifact must be single-device portable: trace outside any
+    # process-global mesh a CLI set earlier (a leaked context mesh bakes
+    # multi-device shardings into the StableHLO and every replica whose
+    # topology differs refuses to run it).
+    with null_mesh_context():
+        exported = jax.export.export(jax.jit(serve),
+                                     platforms=list(platforms))(*args)
     return exported.serialize()
 
 
@@ -106,7 +112,11 @@ class ExportedModel:
     _call: callable
 
     def __call__(self, inputs, margin):
-        return self._call(inputs, margin)
+        # serving can be embedded in a process that set a global mesh (e.g.
+        # exporting + smoke-serving from one CLI run) — the artifact's
+        # computation is single-device, so run it outside any context mesh
+        with null_mesh_context():
+            return self._call(inputs, margin)
 
 
 def load_exported(artifact_dir: str) -> ExportedModel:

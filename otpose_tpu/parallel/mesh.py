@@ -8,11 +8,43 @@ parameters are replicated, and XLA emits the gradient all-reduce over ICI.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@contextlib.contextmanager
+def null_mesh_context():
+    """Temporarily clear the process-global mesh set by jax.sharding.set_mesh.
+
+    The CLI classes use ``set_mesh`` as a global setter (cli/train.py,
+    cli/eval.py), so any tracing that happens later in the same process —
+    most importantly ``engine.export.export_eval`` — would otherwise inherit
+    that mesh as jit's context mesh and bake multi-device shardings into an
+    artifact that must stay single-device portable.  ``set_mesh`` swaps
+    exactly two thread-locals (verified against jax 0.9:
+    ``jax._src.config.{abstract_mesh_context_manager,device_context}``);
+    this restores both to the library's own unset sentinel and puts the
+    caller's values back on exit."""
+    from jax._src import config as _jcfg
+
+    try:
+        from jaxlib._jax.config import unset as _unset
+    except ImportError:  # jaxlib layout moved — fall back to current locals
+        _unset = None
+    if _unset is None:
+        yield
+        return
+    prev_abs = _jcfg.abstract_mesh_context_manager.swap_local(_unset)
+    prev_dev = _jcfg.device_context.swap_local(_unset)
+    try:
+        yield
+    finally:
+        _jcfg.abstract_mesh_context_manager.set_local(prev_abs)
+        _jcfg.device_context.set_local(prev_dev)
 
 
 def make_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:

@@ -44,6 +44,15 @@ def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
 
 
+def _mesh_state():
+    """The two thread-locals jax.sharding.set_mesh mutates (verified against
+    this JAX version: set_mesh enters abstract_mesh_context_manager and
+    device_context and nothing else)."""
+    from jax._src import config as _jcfg
+
+    return _jcfg.abstract_mesh_context_manager, _jcfg.device_context
+
+
 @pytest.fixture(autouse=True)
 def _isolate_global_mesh():
     """The CLI classes intentionally set the process-global mesh
@@ -52,10 +61,30 @@ def _isolate_global_mesh():
     leak its mesh into later tests (a leaked 'data':8 mesh makes any test
     that enters a different mesh fail with ShardingTypeError: 'Mesh for all
     inputs should be equal')."""
-    from jax._src import config as _jcfg
-
-    prev_abs = _jcfg.abstract_mesh_context_manager.get_local()
-    prev_dev = _jcfg.device_context.get_local()
+    abs_var, dev_var = _mesh_state()
+    prev_abs = abs_var.get_local()
+    prev_dev = dev_var.get_local()
     yield
-    _jcfg.abstract_mesh_context_manager.set_local(prev_abs)
-    _jcfg.device_context.set_local(prev_dev)
+    abs_var.set_local(prev_abs)
+    dev_var.set_local(prev_dev)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _isolate_global_mesh_per_module():
+    """Module-scoped counterpart of _isolate_global_mesh.  Module-scoped
+    fixtures that construct CLI objects (e.g. test_checkpoint_ingestion's
+    Eval) run BEFORE the function-scoped fixture saves state, so their
+    set_mesh leak poisons the per-test baseline and survives restoration for
+    the rest of the session (round-3 full run: 3 cross-file failures —
+    preempt resume, seq-parallel trainer, serve padding — all from a leaked
+    'data':8 context mesh).  Saving at module setup (autouse fixtures order
+    before requested ones within a scope, so this runs before any module
+    fixture leaks) and restoring at module teardown keeps the leak visible
+    to the module's own tests (their Eval/Train objects rely on it) while
+    guaranteeing every module starts pristine."""
+    abs_var, dev_var = _mesh_state()
+    prev_abs = abs_var.get_local()
+    prev_dev = dev_var.get_local()
+    yield
+    abs_var.set_local(prev_abs)
+    dev_var.set_local(prev_dev)

@@ -66,6 +66,50 @@ def test_export_roundtrip_matches_live_step(tiny_model, tmp_path):
     assert raw.shape == (b, j, 2)
 
 
+def test_export_and_serve_under_global_mesh(tiny_model, tmp_path):
+    """Regression (round-3 full suite): a CLI process uses
+    jax.sharding.set_mesh as a global setter (cli/train.py), so export and
+    in-process serving can run under a leaked multi-device context mesh.
+    export_eval/ExportedModel must neutralize it (null_mesh_context) — the
+    artifact is single-device portable, and under the leaked mesh the call
+    used to fail with incompatible-devices errors."""
+    spec, params, model_state = tiny_model
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from otpose_tpu.parallel.mesh import make_mesh
+
+    b = 2
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(b, 32, 32, 15), jnp.float32)
+    margin = jnp.ones((b, 4), jnp.float32)
+
+    clean_blob = export_eval(spec, params, model_state, batch_size=b,
+                             decoded=False)
+    want = load_exported(save_exported(
+        str(tmp_path / "clean"), clean_blob, spec, batch_size=b,
+        compute_dtype=jnp.float32, flip=False, decoded=False))(inputs, margin)
+
+    ctx = jax.sharding.set_mesh(make_mesh())  # 'data': 8 global mesh
+    ctx.__enter__()
+    try:
+        blob = export_eval(spec, params, model_state, batch_size=b,
+                           decoded=False)
+        # the actual failure mode: the artifact used to be exported FOR the
+        # leaked mesh's 8 devices, so any 1-device caller (a serving thread
+        # has no thread-local mesh) was rejected with "exported for 8
+        # devices ... called in a context with 1 devices"
+        assert jax.export.deserialize(blob).nr_devices == 1
+        model = load_exported(save_exported(
+            str(tmp_path / "meshed"), blob, spec, batch_size=b,
+            compute_dtype=jnp.float32, flip=False, decoded=False))
+        got = model(inputs, margin)
+    finally:
+        ctx.__exit__(None, None, None)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_export_wrong_batch_rejected(tiny_model):
     spec, params, model_state = tiny_model
     blob = export_eval(spec, params, model_state, batch_size=2)
