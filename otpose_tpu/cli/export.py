@@ -51,7 +51,8 @@ class Export(RunBase):
                 f"MODEL_FILE configured")
         return latest
 
-    def export(self, batch_size: int, out_dir: str | None = None) -> str:
+    def export(self, batch_size: int, out_dir: str | None = None,
+               weights: str = "baked") -> str:
         model_file = self.model_path()
         logger.info("=> exporting %s (batch %d)", model_file, batch_size)
         init_params, init_state = init_otpose(jax.random.PRNGKey(0), self.spec)
@@ -66,19 +67,22 @@ class Export(RunBase):
                 f"checkpoint {model_file} matched 0/{len(params)} tensors "
                 f"of the configured model — wrong --cfg for this checkpoint?")
 
+        if weights not in ("baked", "external"):
+            raise ValueError(f"--weights must be baked/external, got {weights!r}")
         compute_dtype = jnp.bfloat16 \
             if self.cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         bf16_params = self.cfg.TPU.PARAM_DTYPE == "bfloat16"
         data = export_eval(self.spec, params, model_state,
                            batch_size=batch_size, compute_dtype=compute_dtype,
                            flip=bool(self.flip), decoded=True,
-                           bf16_params=bf16_params)
+                           bf16_params=bf16_params,
+                           bake_weights=(weights == "baked"))
         out = out_dir or osp.join(self.cfg.OUTPUT_DIR, "export")
         save_exported(out, data, self.spec, batch_size=batch_size,
                       compute_dtype=compute_dtype, flip=bool(self.flip),
                       decoded=True)
-        logger.info("=> wrote serving artifact to %s (%d bytes)", out,
-                    len(data))
+        logger.info("=> wrote serving artifact to %s (%d module bytes, "
+                    "%s weights)", out, len(data), weights)
         return out
 
 
@@ -90,9 +94,15 @@ def main(argv=None):
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--batch", type=int, default=16)
     extra.add_argument("--out", type=str, default=None)
+    extra.add_argument("--weights", choices=("baked", "external"),
+                       default="baked",
+                       help="baked: weights as StableHLO constants (one "
+                            "self-contained file); external: code-only "
+                            "module + weights.npz sidecar (small modules, "
+                            "shared across checkpoints)")
     ns, rest = extra.parse_known_args(argv)
     args = default_parse_args(rest)
-    Export(args).export(ns.batch, ns.out)
+    Export(args).export(ns.batch, ns.out, weights=ns.weights)
 
 
 if __name__ == "__main__":

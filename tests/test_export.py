@@ -66,6 +66,59 @@ def test_export_roundtrip_matches_live_step(tiny_model, tmp_path):
     assert raw.shape == (b, j, 2)
 
 
+def test_export_external_weights_roundtrip(tiny_model, tmp_path):
+    """weights='external': code-only StableHLO + weights.npz sidecar must
+    reproduce the baked artifact exactly (incl. bf16 sidecar dtypes, which
+    npz cannot store natively).  Motivation: the baked flagship module is
+    ~276 MB of constants — past compile-service request limits (the on-chip
+    smoke's serve step died with HTTP 413 on it)."""
+    import os
+
+    spec, params, model_state = tiny_model
+    b = 2
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(b, 32, 32, 15), jnp.float32)
+    margin = jnp.ones((b, 4), jnp.float32)
+
+    baked = load_exported(save_exported(
+        str(tmp_path / "baked"),
+        export_eval(spec, params, model_state, batch_size=b, decoded=False),
+        spec, batch_size=b, compute_dtype=jnp.float32, flip=False,
+        decoded=False))
+
+    bundle = export_eval(spec, params, model_state, batch_size=b,
+                         decoded=False, bake_weights=False, bf16_params=True)
+    out = save_exported(str(tmp_path / "ext"), bundle, spec, batch_size=b,
+                        compute_dtype=jnp.float32, flip=False, decoded=False)
+    assert os.path.exists(os.path.join(out, "otpose_weights.npz"))
+    # the code-only module must be much smaller than the baked one
+    baked_sz = os.path.getsize(str(tmp_path / "baked" / "otpose_eval.stablehlo"))
+    ext_sz = os.path.getsize(os.path.join(out, "otpose_eval.stablehlo"))
+    assert ext_sz < baked_sz / 2, (ext_sz, baked_sz)
+    ext = load_exported(out)
+    assert ext.meta["weights"] == "external"
+
+    want = baked(inputs, margin)
+    got = ext(inputs, margin)
+    for g, w in zip(got, want):
+        # bf16 conv/dense weights in the sidecar: parity to bf16 tolerance
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    # exact parity when the sidecar stays f32
+    ext_f32 = load_exported(save_exported(
+        str(tmp_path / "ext32"),
+        export_eval(spec, params, model_state, batch_size=b, decoded=False,
+                    bake_weights=False),
+        spec, batch_size=b, compute_dtype=jnp.float32, flip=False,
+        decoded=False))
+    got32 = ext_f32(inputs, margin)
+    for g, w in zip(got32, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_export_and_serve_under_global_mesh(tiny_model, tmp_path):
     """Regression (round-3 full suite): a CLI process uses
     jax.sharding.set_mesh as a global setter (cli/train.py), so export and

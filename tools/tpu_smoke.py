@@ -96,9 +96,13 @@ def main():
 
     from otpose_tpu.cli.export import Export
 
+    # external weights: the baked flagship module is ~276 MB of constants,
+    # which this environment's remote-compile tunnel rejects (HTTP 413) —
+    # and external is the production default for large models anyway
     artifact = Export(default_parse_args(["--cfg", yaml_path,
                                           "--root_dir", root])).export(
-        batch_size=args.batch, out_dir=osp.join(root, "artifact"))
+        batch_size=args.batch, out_dir=osp.join(root, "artifact"),
+        weights="external")
     print(f"EXPORT OK: {artifact} "
           f"({time.perf_counter() - t0:.0f}s incl. lowering)")
 
