@@ -65,5 +65,6 @@ def make_loader(cfg, dataset, batch_size: int, *, shuffle: bool,
         from otpose_tpu.data.device_loader import DeviceLoader
 
         return DeviceLoader(dataset, batch_size, mode=mode,
-                            max_frame_hw=tuple(cfg.TPU.MAX_FRAME_HW), **kwargs)
+                            max_frame_hw=tuple(cfg.TPU.MAX_FRAME_HW),
+                            device_prefetch=cfg.TPU.PREFETCH_DEPTH, **kwargs)
     return Loader(dataset, batch_size, **kwargs)

@@ -44,8 +44,8 @@ class DeviceLoader(Loader):
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 4, seed: int = 8888, drop_last: bool = False,
                  prefetch: int = 2, max_frame_hw: Tuple[int, int] = (1088, 1920),
-                 mode: str = "crops", process_index: int = 0,
-                 process_count: int = 1):
+                 mode: str = "crops", device_prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         super().__init__(dataset, batch_size, shuffle=shuffle,
                          num_workers=num_workers, seed=seed,
                          drop_last=drop_last, prefetch=prefetch,
@@ -55,6 +55,10 @@ class DeviceLoader(Loader):
         if mode not in ("crops", "full"):
             raise ValueError(f"DeviceLoader mode must be crops/full, got {mode!r}")
         self.mode = mode
+        # >0: a dedicated mover thread runs _to_device, so the host->device
+        # transfer (and the device preprocess dispatch) of batch N+k overlaps
+        # the model step on batch N.  0 = move synchronously in the consumer.
+        self.device_prefetch = device_prefetch
 
     # ---------------------------------------------------------------- host
 
@@ -220,18 +224,59 @@ class DeviceLoader(Loader):
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
+        threads = [thread]
+        final_q = out_q
+        if self.device_prefetch > 0:
+            # second pipeline stage: host samples -> device batches.  JAX
+            # dispatch is thread-safe and async, so batch N+1's transfer
+            # rides the wire while the chip executes step N; the queue bound
+            # caps device memory at device_prefetch in-flight batches.
+            dev_q: queue.Queue = queue.Queue(maxsize=self.device_prefetch)
+
+            def mover():
+                # sole consumer of out_q: drains it to the producer's None
+                # sentinel no matter what (a _to_device failure is forwarded
+                # and draining continues), so the producer can always finish
+                # and shutdown never races this thread for the sentinel
+                while True:
+                    item = out_q.get()
+                    if item is None or isinstance(item, BaseException):
+                        dev_q.put(item)
+                        if item is None:
+                            return
+                        continue
+                    if stop.is_set():
+                        continue
+                    try:
+                        moved = self._to_device(item)
+                    except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                        stop.set()
+                        dev_q.put(e)
+                        continue
+                    dev_q.put(moved)
+
+            mv = threading.Thread(target=mover, daemon=True)
+            mv.start()
+            threads.append(mv)
+            final_q = dev_q
         try:
             while True:
-                item = out_q.get()
+                item = final_q.get()
                 if item is None:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                yield self._to_device(item)
+                yield item if self.device_prefetch > 0 \
+                    else self._to_device(item)
         finally:
             stop.set()
-            while thread.is_alive():
+            # Unblock stages parked on a full queue until every thread exits.
+            # Drain ONLY final_q: the mover is the sole out_q consumer and
+            # always drains it to the sentinel (stealing out_q items here
+            # would race it for the producer's None and strand it —
+            # deadlocked exactly so before this comment existed).
+            while any(t.is_alive() for t in threads):
                 try:
-                    out_q.get_nowait()
+                    final_q.get(timeout=0.05)
                 except queue.Empty:
-                    break
+                    pass

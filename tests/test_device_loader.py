@@ -169,3 +169,74 @@ def test_device_loader_deterministic(ds):
     b2, _ = next(iter(dev))
     np.testing.assert_array_equal(np.asarray(b1["inputs"]),
                                   np.asarray(b2["inputs"]))
+
+
+def test_device_prefetch_pipeline_matches_synchronous(ds):
+    """device_prefetch > 0 moves _to_device into a mover thread; every batch
+    and meta must be identical to the synchronous (device_prefetch=0) path,
+    in order, across a full epoch."""
+    sync = DeviceLoader(ds, 2, shuffle=False, num_workers=2,
+                        max_frame_hw=(128, 160), device_prefetch=0)
+    pipe = DeviceLoader(ds, 2, shuffle=False, num_workers=2,
+                        max_frame_hw=(128, 160), device_prefetch=2)
+    got_s, got_p = list(sync), list(pipe)
+    assert len(got_s) == len(got_p) > 0
+    for (sb, sm), (pb, pm) in zip(got_s, got_p):
+        assert sb.keys() == pb.keys()
+        for k in sb:
+            np.testing.assert_array_equal(np.asarray(sb[k]),
+                                          np.asarray(pb[k]), err_msg=k)
+        assert [m["image"] for m in sm] == [m["image"] for m in pm]
+
+
+def test_device_prefetch_early_break_then_reiterate(ds):
+    """Breaking mid-epoch (preemption, eval early-exit) must shut both
+    pipeline threads down without hanging, and a fresh iteration must
+    reproduce the full epoch."""
+    dev = DeviceLoader(ds, 2, shuffle=False, num_workers=2,
+                       max_frame_hw=(128, 160), device_prefetch=2)
+    it = iter(dev)
+    first, _ = next(it)
+    del it  # triggers the generator's finally -> thread shutdown
+
+    full = list(dev)
+    assert len(full) == len(dev)
+    np.testing.assert_array_equal(np.asarray(first["inputs"]),
+                                  np.asarray(full[0][0]["inputs"]))
+
+
+def test_device_prefetch_propagates_mover_errors(ds):
+    """An exception inside _to_device (the mover thread) must raise in the
+    consumer, not hang."""
+    dev = DeviceLoader(ds, 2, shuffle=False, num_workers=2,
+                       max_frame_hw=(128, 160), device_prefetch=2)
+    dev._to_device = lambda samples: (_ for _ in ()).throw(
+        RuntimeError("device OOM (synthetic)"))
+    with pytest.raises(RuntimeError, match="device OOM"):
+        for _ in dev:
+            pass
+
+
+def test_device_prefetch_abandoned_iterator_shuts_down(ds):
+    """Regression: closing a pipelined iterator mid-epoch used to deadlock —
+    the consumer's shutdown drain stole the producer's None sentinel from
+    out_q, stranding the mover on out_q.get() forever (found by the
+    flagship-geometry test hanging).  The close must finish promptly even
+    when the pipeline has settled (producer done, sentinel enqueued, mover
+    parked)."""
+    import threading
+    import time
+
+    dev = DeviceLoader(ds, 2, shuffle=False, num_workers=2,
+                       max_frame_hw=(128, 160), device_prefetch=2)
+
+    def run():
+        it = iter(dev)
+        next(it)
+        time.sleep(1.0)  # let the pipeline settle into the deadlock shape
+        it.close()       # runs the generator's finally (thread shutdown)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "pipelined loader shutdown deadlocked"
