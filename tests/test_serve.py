@@ -16,12 +16,13 @@ from otpose_tpu.models.otpose import OTPoseSpec, init_otpose
 from otpose_tpu.utils.testing import tiny_otpose_cfg
 
 
-@pytest.fixture(scope="module")
-def server(tmp_path_factory):
+@pytest.fixture(scope="module", params=["baked", "external"])
+def server(request, tmp_path_factory):
     cfg = tiny_otpose_cfg(image_size=32, heatmap_size=8)
     spec = OTPoseSpec.from_cfg(cfg)
     params, model_state = init_otpose(jax.random.PRNGKey(0), spec)
-    blob = export_eval(spec, params, model_state, batch_size=2)
+    blob = export_eval(spec, params, model_state, batch_size=2,
+                       bake_weights=(request.param == "baked"))
     art = save_exported(str(tmp_path_factory.mktemp("srv") / "artifact"),
                         blob, spec, batch_size=2,
                         compute_dtype=jnp.float32, flip=False, decoded=True)
