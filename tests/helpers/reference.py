@@ -26,6 +26,52 @@ def import_reference_module(name: str):
         pytest.skip(f"reference module {name} not importable: {e}")
 
 
+def _stub_module(name: str, **attrs):
+    import types
+
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return sys.modules.setdefault(name, mod)
+
+
+def import_reference_evaluate():
+    """Import the reference's vendored poseval (utils/evaluate.py) on CPU.
+
+    Its import block pulls motmetrics/shapely/yacs/torchvision, none of which
+    are touched on the no-ignore-region AP path (ref: utils/evaluate.py:1-16);
+    stub them so the scorer runs in this torch-CPU test environment.  Shared
+    by the fixture-level differential (tests/test_poseval_differential.py)
+    and the file-level pipeline composite
+    (tests/test_pipeline_vs_reference_scorer.py).
+    """
+    if "torchvision" not in sys.modules:  # utils/transform.py import block
+        class _Noop:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        tvt = _stub_module("torchvision.transforms",
+                           Compose=lambda fns: (lambda x: x),
+                           ToTensor=_Noop, Normalize=_Noop, GaussianBlur=_Noop)
+        tv = _stub_module("torchvision")
+        tv.transforms = tvt
+    _stub_module("motmetrics")
+    geometry = _stub_module("shapely.geometry", Point=object, Polygon=object)
+    shapely = _stub_module("shapely")
+    shapely.geometry = geometry
+
+    class _FakeCfgNode(dict):  # yacs.config.CfgNode stand-in (subclassable)
+        pass
+
+    yacs_config = _stub_module("yacs.config", CfgNode=_FakeCfgNode)
+    yacs = _stub_module("yacs")
+    yacs.config = yacs_config
+    return import_reference_module("utils.evaluate")
+
+
 def make_hrnet_cfg(num_joints=17, width=(32, 64, 128, 256), final_kernel=1,
                    stage_modules=(1, 2, 1)):
     """A small HRNet cfg accepted by both the reference model and ours."""

@@ -19,7 +19,7 @@ import pytest
 
 from otpose_tpu.ops import heatmap as ours
 
-from tests.helpers.reference import import_reference_module
+from tests.helpers.reference import import_reference_module, _stub_module
 
 
 @pytest.fixture(scope="module")
@@ -34,15 +34,11 @@ def ref_hm():
             def __call__(self, x):
                 return x
 
-        tvt = types.ModuleType("torchvision.transforms")
-        tvt.Compose = lambda fns: (lambda x: x)
-        tvt.ToTensor = _Noop
-        tvt.Normalize = _Noop
-        tvt.GaussianBlur = _Noop
-        tv = types.ModuleType("torchvision")
+        tvt = _stub_module("torchvision.transforms",
+                           Compose=lambda fns: (lambda x: x),
+                           ToTensor=_Noop, Normalize=_Noop, GaussianBlur=_Noop)
+        tv = _stub_module("torchvision")
         tv.transforms = tvt
-        sys.modules.setdefault("torchvision", tv)
-        sys.modules.setdefault("torchvision.transforms", tvt)
     return import_reference_module("utils.heatmap")
 
 

@@ -12,52 +12,18 @@ hide; perfect-prediction tests cannot see them.
 """
 
 import copy
-import sys
-import types
 
 import numpy as np
 import pytest
 
 from otpose_tpu.evaluate import poseval
 
-from tests.helpers.reference import import_reference_module
-
-
-def _stub_module(name: str, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    return sys.modules.setdefault(name, mod)
+from tests.helpers.reference import import_reference_evaluate
 
 
 @pytest.fixture(scope="module")
 def ref_eval():
-    # utils/evaluate.py's import block needs these present; the AP path
-    # (assignGTmulti -> evaluate_ap) never calls into them
-    if "torchvision" not in sys.modules:  # utils/transform.py import
-        class _Noop:
-            def __init__(self, *a, **k):
-                pass
-
-            def __call__(self, x):
-                return x
-
-        tvt = _stub_module("torchvision.transforms", Compose=lambda fns: (lambda x: x),
-                           ToTensor=_Noop, Normalize=_Noop, GaussianBlur=_Noop)
-        tv = _stub_module("torchvision")
-        tv.transforms = tvt
-    _stub_module("motmetrics")
-    geometry = _stub_module("shapely.geometry", Point=object, Polygon=object)
-    shapely = _stub_module("shapely")
-    shapely.geometry = geometry
-
-    class _FakeCfgNode(dict):  # yacs.config.CfgNode stand-in (subclassable)
-        pass
-
-    yacs_config = _stub_module("yacs.config", CfgNode=_FakeCfgNode)
-    yacs = _stub_module("yacs")
-    yacs.config = yacs_config
-    return import_reference_module("utils.evaluate")
+    return import_reference_evaluate()
 
 
 # ---------------------------------------------------------------------------
