@@ -146,12 +146,23 @@ def _person_old_to_new(rect: dict) -> dict:
 
     ret = {"track_id": rect["track_id"][0], "category_id": 1,
            "keypoints": keypoints, "scores": scores}
+    if points:
+        # the reference synthesizes the person box from the landmark extents,
+        # padded 1.3x around the center (ref: utils/setup.py:456-467); the
+        # rect-level "score" is parsed but deliberately NOT re-emitted
+        # (ref: to_new, utils/setup.py:350-370)
+        xs = np.array([p["x"][0] for p in points])
+        ys = np.array([p["y"][0] for p in points])
+        xc, yc = (xs.max() + xs.min()) / 2., (ys.max() + ys.min()) / 2.
+        xe, ye = xs.max() - xs.min(), ys.max() - ys.min()
+        x1, x2 = xc - 0.65 * xe, xc + 0.65 * xe
+        y1, y2 = yc - 0.65 * ye, yc + 0.65 * ye
+        # width/height as corner differences, bit-matching the reference
+        ret["bbox"] = [x1, y1, x2 - x1, y2 - y1]
     if all(k in rect for k in ("x1", "x2", "y1", "y2")):
         ret["bbox_head"] = [rect["x1"][0], rect["y1"][0],
                             rect["x2"][0] - rect["x1"][0],
                             rect["y2"][0] - rect["y1"][0]]
-    if "score" in rect:
-        ret["score"] = rect["score"][0]
     return ret
 
 
