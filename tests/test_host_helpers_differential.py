@@ -174,6 +174,40 @@ def _reference_setup():
     return import_reference_module("utils.setup")
 
 
+def test_video2filenames_json_matches_reference(tmp_path):
+    """>=2 json files: the reference only takes the json path then (its
+    single-json case falls through to an empty .mat scan — ours deliberately
+    fixes that; see converters.video2filenames)."""
+    ref_setup = _reference_setup()
+    old = {"annolist": [{"image": [{"name": f"images/val/00001_bonn/{i:08d}.jpg"}],
+                         "annorect": []} for i in range(1, 5)]}
+    new = {"images": [{"file_name": f"images/val/00002_bonn/{i:06d}.jpg",
+                       "nframes": 7} for i in range(3)]}
+    json.dump(old, open(osp.join(tmp_path, "00001_bonn.json"), "w"))
+    json.dump(new, open(osp.join(tmp_path, "00002_bonn.json"), "w"))
+    from otpose_tpu.evaluate.converters import video2filenames
+
+    out_r, len_r = ref_setup.video2filenames(str(tmp_path))
+    out_o, len_o = video2filenames(str(tmp_path))
+    assert out_o == out_r
+    assert len_o == len_r
+
+
+def test_video2filenames_mat_matches_reference(tmp_path):
+    sio = pytest.importorskip("scipy.io")
+    ref_setup = _reference_setup()
+    for seq, n in (("00003_mpii", 5), ("00004_mpii", 2)):
+        frames = [{"image": {"name": f"images/val/{seq}/{i:08d}.jpg"}}
+                  for i in range(1, n + 1)]
+        sio.savemat(osp.join(tmp_path, seq + ".mat"), {"annolist": frames})
+    from otpose_tpu.evaluate.converters import video2filenames
+
+    out_r, len_r = ref_setup.video2filenames(str(tmp_path))
+    out_o, len_o = video2filenames(str(tmp_path))
+    assert out_o == out_r
+    assert len_o == len_r
+
+
 def test_convert_videos_matches_reference_both_directions(tmp_path):
     from tests.helpers.synthetic_data import make_synthetic_posetrack
 
