@@ -78,7 +78,8 @@ class Train(RunBase):
                                        use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
                                        donate=cfg.TPU.DONATE_STATE,
                                        remat=cfg.TPU.REMAT,
-                                       seq_axis=self.seq_axis)
+                                       seq_axis=self.seq_axis,
+                                       accum_steps=cfg.TPU.ACCUM_STEPS)
         # per-epoch validation decodes keypoints on device (fetches 17 coords
         # per box, not full heatmaps) — equivalence-tested vs evaluate_epoch
         self.eval_fn = make_decoded_eval_step(self.spec,

@@ -223,6 +223,10 @@ _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.PREFETCH_DEPTH = 2            # host->device pipeline depth
 _C.TPU.DONATE_STATE = True           # donate train-state buffers to the jit step
 _C.TPU.REMAT = False                 # recompute forward in backward (bigger batches)
+# gradient accumulation: split each TRAIN.BATCH_SIZE_PER_GPU batch into K
+# sequential micro-batches (lax.scan) with one optimizer update — effective
+# batches beyond 16GB HBM without remat's recompute cost (engine/trainer.py)
+_C.TPU.ACCUM_STEPS = 1
 # NOTE: no Pallas knob — the deformable-conv battery ships as the gather-free
 # tent-matmul XLA formulation (ops/deform_conv.py), which measures within
 # ~25% of the fused-VMEM floor on v5e; two Pallas kernels (dense-tent and

@@ -69,7 +69,8 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
                     topk: int = 8, use_target_weight: bool = True,
                     donate: bool = True, remat: bool = False,
                     compiler_options: dict | None = None,
-                    seq_axis: str | None = None) -> Callable:
+                    seq_axis: str | None = None,
+                    accum_steps: int = 1) -> Callable:
     """Build the jit'd train step: (TrainState, batch, rng) -> (TrainState, metrics).
 
     ``remat=True`` recomputes the whole forward during the backward pass
@@ -77,7 +78,18 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
     larger per-chip batches.  Flagship batch 8 fits WITHOUT remat on a 16GB
     v5e since the round-2 bf16/(B,C,T) activation work and runs 13.7%
     faster that way (516.5 vs 598.2 ms/step measured); turn it on for
-    larger per-chip batches."""
+    larger per-chip batches.
+
+    ``accum_steps=K > 1`` (cfg.TPU.ACCUM_STEPS) runs gradient accumulation:
+    the incoming batch (size K*m) is split into K micro-batches processed
+    sequentially under ``lax.scan`` — activation memory stays at micro-batch
+    size — with gradients/metrics averaged and ONE optimizer update at the
+    end.  Standard accumulation semantics: BN batch statistics and the
+    batch-global OHKM loss branch see each micro-batch separately (exactly
+    as K small torch steps would), and each micro-batch gets its own
+    dropout/drop-path fold of ``rng``.  No reference counterpart (it trains
+    batch 2-8/GPU, ref: configs/17/model_RSN.yaml:45); this is the TPU-side
+    mechanism for reference-scale *effective* batches beyond 16GB HBM."""
 
     def loss_fn(params, model_state, batch, rng):
         ctx = Ctx(params, model_state, train=True, rng=rng,
@@ -89,10 +101,42 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
 
+    tree_map = jax.tree_util.tree_map
+
     def step(ts: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_model_state)), grads = grad_fn(
-            ts.params, ts.model_state, batch, rng)
+        if accum_steps == 1:
+            (_, (metrics, new_model_state)), grads = grad_fn(
+                ts.params, ts.model_state, batch, rng)
+        else:
+            b = batch["inputs"].shape[0]
+            if b % accum_steps:
+                raise ValueError(f"batch size {b} not divisible by "
+                                 f"accum_steps {accum_steps}")
+            micro = tree_map(
+                lambda x: x.reshape((accum_steps, b // accum_steps)
+                                    + x.shape[1:]), batch)
+            # micro-batch 0 outside the scan pins the grads/metrics pytree
+            # structure for the carry; the scan accumulates sums in-place
+            (_, (m_acc, state)), g_acc = grad_fn(
+                ts.params, ts.model_state, tree_map(lambda x: x[0], micro),
+                jax.random.fold_in(rng, 0))
+
+            def body(carry, xs):
+                state, g_acc, m_acc = carry
+                mb, i = xs
+                (_, (m, new_state)), g = grad_fn(ts.params, state, mb,
+                                                 jax.random.fold_in(rng, i))
+                return (new_state, tree_map(jnp.add, g_acc, g),
+                        tree_map(jnp.add, m_acc, m)), None
+
+            (state, g_acc, m_acc), _ = jax.lax.scan(
+                body, (state, g_acc, m_acc),
+                (tree_map(lambda x: x[1:], micro),
+                 jnp.arange(1, accum_steps)))
+            grads = tree_map(lambda g: g / accum_steps, g_acc)
+            metrics = tree_map(lambda m: m / accum_steps, m_acc)
+            new_model_state = state
         updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, ts.params, updates)
         metrics["grad_norm"] = optax_global_norm(grads)

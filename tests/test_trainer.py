@@ -143,6 +143,69 @@ def test_train_step_decreases_loss(setup):
                            np.asarray(params["final_layer1.weight"]))
 
 
+def test_grad_accumulation_matches_micro_loop(setup):
+    """accum_steps=K must equal the hand-rolled oracle: K sequential
+    micro-batch grad computations (threading BN state, per-micro rng fold),
+    averaged, one optimizer update — and the K=1 fast path is untouched."""
+    import optax
+
+    from otpose_tpu.engine.trainer import compute_losses
+    from otpose_tpu.models.core import Ctx
+
+    cfg, spec, params, model_state = setup
+    schedule = make_schedule(cfg, num_iters_per_epoch=5)
+    optimizer = make_optimizer(params, cfg, schedule)
+    K, micro = 3, 2
+    batch = _make_batch(np.random.RandomState(11), K * micro)
+    rng = jax.random.PRNGKey(42)
+
+    step_acc = make_train_step(spec, optimizer, donate=False, accum_steps=K)
+    ts = init_train_state(params, model_state, optimizer)
+    ts_acc, m_acc = step_acc(ts, batch, rng)
+
+    # oracle: independent python loop over the same micro-batches
+    def loss_fn(p, st, mb, r):
+        ctx = Ctx(p, st, train=True, rng=r)
+        total, (metrics, _) = compute_losses(ctx, mb, spec, 8, True)
+        return total, (metrics, ctx.finalize_state())
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    state = model_state
+    g_sum = None
+    loss_sum = 0.0
+    for i in range(K):
+        mb = {k: v[i * micro:(i + 1) * micro] for k, v in batch.items()}
+        (_, (m, state)), g = grad_fn(params, state, mb,
+                                     jax.random.fold_in(rng, i))
+        loss_sum += float(m["final_loss"])
+        g_sum = g if g_sum is None else jax.tree_util.tree_map(jnp.add, g_sum, g)
+    grads = jax.tree_util.tree_map(lambda x: x / K, g_sum)
+    updates, _ = optimizer.update(grads, optimizer.init(params), params)
+    want_params = optax.apply_updates(params, updates)
+
+    assert float(m_acc["final_loss"]) == pytest.approx(loss_sum / K, rel=1e-6)
+    for k in want_params:
+        np.testing.assert_allclose(np.asarray(ts_acc.params[k]),
+                                   np.asarray(want_params[k]),
+                                   rtol=0, atol=1e-6, err_msg=k)
+    # BN running stats threaded through all K micro-batches
+    for k in state:
+        np.testing.assert_allclose(np.asarray(ts_acc.model_state[k]),
+                                   np.asarray(state[k]),
+                                   rtol=0, atol=1e-6, err_msg=k)
+
+
+def test_grad_accumulation_rejects_indivisible_batch(setup):
+    cfg, spec, params, model_state = setup
+    schedule = make_schedule(cfg, num_iters_per_epoch=5)
+    optimizer = make_optimizer(params, cfg, schedule)
+    step_acc = make_train_step(spec, optimizer, donate=False, accum_steps=3)
+    ts = init_train_state(params, model_state, optimizer)
+    with pytest.raises(ValueError, match="not divisible"):
+        step_acc(ts, _make_batch(np.random.RandomState(1), 4),
+                 jax.random.PRNGKey(0))
+
+
 def test_eval_step(setup):
     cfg, spec, params, model_state = setup
     eval_fn = make_eval_step(spec)
