@@ -122,6 +122,104 @@ def test_full_forward_parity_flagship_shape():
         assert diff <= 1e-3, f"{name}: max abs diff {diff}"
 
 
+def test_full_gradient_parity(parity_pair):
+    """Training-path parity: d(total loss)/d(params) of the COMPLETE model —
+    train-mode forward (batch-stats BN), the reference loss combination
+    (student-teacher ST-OHKW + occlusion aux, ref: script/Common.py:122-130),
+    backward through every submodule including the deformable refinement —
+    must match the torch reference per parameter.  This is the strongest
+    available proxy that *training* (not just inference) reproduces the
+    reference: equal grads + equal optimizer (tested elsewhere) => equal
+    trajectories => equal converged mAP, up to data."""
+    torch = pytest.importorskip("torch")
+    import copy
+    import dataclasses
+
+    import jax
+
+    from otpose_tpu.engine.trainer import compute_losses
+    from tests.helpers.reference import import_reference_module
+
+    ref0, spec, params, state = parity_pair
+    ref = copy.deepcopy(ref0)
+    ref.train()
+    # determinism: zero every dropout / drop-path on both sides
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if hasattr(m, "drop_prob"):
+            m.drop_prob = 0.0
+    spec0 = dataclasses.replace(spec, proj_pdrop=0.0, path_pdrop=0.0)
+
+    rng = np.random.RandomState(1)
+    bsz = 2
+    x = rng.randn(bsz, 15, 64, 64).astype(np.float32)
+    margin = np.array([[1, 1, 2, 2], [1, 0, 2, 0]], dtype=np.float32)
+    target = (0.7 * rng.rand(bsz, 17, 16, 16)).astype(np.float32)
+    # exercise BOTH branches of the batch-global labeled-joint quirk:
+    # joints 0..7 carry an exact 1.0 peak somewhere in the batch
+    for j in range(8):
+        target[j % bsz, j, 3 + j % 9, 2 + j % 11] = 1.0
+    weight = np.ones((bsz, 17, 1), np.float32)
+
+    ref_loss = import_reference_module("model.loss")
+    crit = ref_loss.ST_OHKW_MSELoss(use_target_weight=True)
+    out = ref(torch.from_numpy(x), margin=torch.from_numpy(margin))
+    output, rough, intersection, context_encoding = out[0], out[1], out[2], out[4]
+    tt, wt = torch.from_numpy(target), torch.from_numpy(weight)
+    losses = crit(output, rough[:bsz], tt, wt)
+    occlusion = (tt + intersection) / 2
+    aux = crit(context_encoding, context_encoding, occlusion, wt)
+    total_ref = losses["final_loss"] + aux["final_loss"]
+    total_ref.backward()
+    grads_ref, _ = convert_state_dict(
+        {n: p.grad for n, p in ref.named_parameters() if p.grad is not None})
+
+    batch = {
+        "inputs": jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        "margin": jnp.asarray(margin),
+        "target": jnp.asarray(np.transpose(target, (0, 2, 3, 1))),
+        "target_weight": jnp.asarray(weight),
+    }
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    jstate = {k: jnp.asarray(v) for k, v in state.items()}
+
+    def loss_fn(p):
+        ctx = Ctx(p, jstate, train=True, rng=jax.random.PRNGKey(0))
+        total, _ = compute_losses(ctx, batch, spec0, 8, True)
+        return total
+
+    total_ours, grads_ours = jax.value_and_grad(loss_fn)(jparams)
+    assert float(total_ours) == pytest.approx(float(total_ref.detach()), rel=1e-6)
+
+    assert len(grads_ref) > 100
+    assert set(grads_ref).issubset(set(grads_ours))
+    rels = {}
+    for k, g_ref in grads_ref.items():
+        g_ours = np.asarray(grads_ours[k], np.float64)
+        g_ref = np.asarray(g_ref, np.float64)
+        assert g_ours.shape == g_ref.shape, k
+        scale = max(float(np.abs(g_ref).max()), 1e-8)
+        diff = float(np.abs(g_ours - g_ref).max())
+        # per-key bound: loose enough for f32 chain-rule accumulation through
+        # ~30 layers (deepest stem convs measure ~0.7-6% rel depending on the
+        # host's reduction order), the noise-on-zero of conv biases that feed
+        # straight into BN (true gradient exactly 0, both sides emit ~1e-7
+        # roundoff), and the offset convs whose grads route through the
+        # piecewise tent derivative (f32-vs-f64 sampling coordinates flip
+        # tent-segment membership: ~5e-6 jumps).  A real divergence (wrong
+        # op/layout/branch) measures O(1) relative on the affected keys.
+        assert diff <= 2e-5 + 1e-1 * scale, f"{k}: {diff} vs scale {scale}"
+        if scale > 1e-6:        # exclude noise-on-zero keys from the stats
+            rels[k] = diff / scale
+    # the distribution must be f32-noise-shaped, not systematically off:
+    # measured median 3.2e-4 .. 3.1e-3 across hosts/thread counts
+    vals = np.asarray(sorted(rels.values()))
+    assert len(vals) > 100
+    assert float(np.median(vals)) <= 1e-2, float(np.median(vals))
+    assert float(vals[int(0.9 * len(vals))]) <= 4e-2
+
+
 def test_init_keys_match_reference_otpose(parity_pair):
     """Every parameter/buffer name and shape must line up with the torch
     reference so checkpoints convert 1:1."""
