@@ -244,6 +244,35 @@ def test_data_parallel_matches_single_device(setup):
     np.testing.assert_allclose(w1, w8, atol=5e-6)
 
 
+def test_grad_accumulation_composes_with_data_parallel(setup):
+    """accum_steps under an 8-device data mesh == accum_steps on one device
+    (each micro-batch is itself data-sharded; the in-step reshape
+    (B,...) -> (K, B/K, ...) must not change the math)."""
+    cfg, spec, params, model_state = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    schedule = make_schedule(cfg, num_iters_per_epoch=5)
+    optimizer = make_optimizer(params, cfg, schedule)
+    step_fn = make_train_step(spec, optimizer, donate=False, accum_steps=2)
+    batch = _make_batch(np.random.RandomState(13), 16)  # 2 micro x 8 devices
+    rng = jax.random.PRNGKey(3)
+
+    ts1 = init_train_state(params, model_state, optimizer)
+    ts1, m1 = step_fn(ts1, jax.tree_util.tree_map(jnp.asarray, batch), rng)
+
+    mesh = make_mesh(cfg)
+    with jax.sharding.set_mesh(mesh):
+        ts8 = init_train_state(replicate(mesh, params),
+                               replicate(mesh, model_state), optimizer)
+        ts8, m8 = step_fn(ts8, shard_batch(mesh, batch), rng)
+
+    assert float(m1["final_loss"]) == pytest.approx(float(m8["final_loss"]),
+                                                    rel=2e-4)
+    w1 = np.asarray(ts1.params["final_layer1.weight"])
+    w8 = np.asarray(ts8.params["final_layer1.weight"])
+    np.testing.assert_allclose(w1, w8, atol=5e-6)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     if len(jax.devices()) < 8:

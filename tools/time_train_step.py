@@ -28,7 +28,8 @@ def build_step(args, spec, opt, dt):
 
     if args.mode == "step":
         return make_train_step(spec, opt, compute_dtype=dt,
-                               remat=not args.no_remat)
+                               remat=not args.no_remat,
+                               accum_steps=args.accum)
 
     from otpose_tpu.engine.trainer import compute_losses
     from otpose_tpu.models.core import Ctx
@@ -67,6 +68,11 @@ def main():
     ap.add_argument("--mode", choices=["step", "fwd", "grad"], default="step",
                     help="step: full train step; fwd: loss value only; "
                          "grad: value_and_grad without the optimizer")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-steps (mode=step)")
+    ap.add_argument("--ab-accum", action="store_true",
+                    help="same-process interleaved A/B: one batch-2B accum-2 "
+                         "step vs two batch-B steps (effective-batch parity)")
     args = ap.parse_args()
 
     from otpose_tpu.utils.backend import ensure_live_backend
@@ -108,6 +114,44 @@ def main():
             ts, m = step(ts, batch, key)
         fence(m)
         return (time.perf_counter() - t0) / args.iters, ts
+
+    if args.ab_accum:
+        # A: one step at batch 2B with accum_steps=2 (activations stay at B);
+        # B: two sequential steps at batch B.  Same clips/update either way;
+        # A saves one optimizer pass + dispatch.
+        from otpose_tpu.engine.trainer import make_train_step as _mts
+
+        # donate=False: ts_a and ts_b share the same params/state buffers
+        step_acc = _mts(spec, opt, compute_dtype=dt, remat=not args.no_remat,
+                        accum_steps=2, donate=False)
+        step_one = _mts(spec, opt, compute_dtype=dt, remat=not args.no_remat,
+                        donate=False)
+        big = {
+            "inputs": jnp.asarray(rng.randn(2 * b, 384, 288, 15), jnp.float32),
+            "margin": jnp.ones((2 * b, 4), jnp.float32),
+            "target": jnp.asarray(rng.rand(2 * b, 96, 72, 17), jnp.float32),
+            "target_weight": jnp.ones((2 * b, 17, 1), jnp.float32),
+        }
+        ts_a = TrainState(params, state, opt.init(params), 0)
+        ts_b = TrainState(params, state, opt.init(params), 0)
+        ts_a, m = step_acc(ts_a, big, key); fence(m)
+        ts_b, m = step_one(ts_b, batch, key); fence(m)
+        for rnd in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                ts_a, m = step_acc(ts_a, big, key)
+            fence(m)
+            dt_a = (time.perf_counter() - t0) / args.iters
+            t0 = time.perf_counter()
+            for _ in range(2 * args.iters):
+                ts_b, m = step_one(ts_b, batch, key)
+            fence(m)
+            dt_b = (time.perf_counter() - t0) / args.iters
+            print(f"round {rnd}: accum2@{2*b} {dt_a*1e3:.1f} ms/update "
+                  f"({2*b/dt_a:.2f} clips/s)   2x step@{b} {dt_b*1e3:.1f} "
+                  f"ms ({2*b/dt_b:.2f} clips/s)   delta {(dt_a-dt_b)*1e3:+.1f} ms",
+                  flush=True)
+        return
 
     if args.ab_dropout:
         # donation would free ts under fn A while fn B still needs a live
