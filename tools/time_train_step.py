@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--ab-accum", action="store_true",
                     help="same-process interleaved A/B: one batch-2B accum-2 "
                          "step vs two batch-B steps (effective-batch parity)")
+    ap.add_argument("--ab-batch", action="store_true",
+                    help="same-process interleaved A/B: batch B without remat "
+                         "vs batch 2B with remat, in clips/s (re-checks the "
+                         "no-remat-at-8 sweet spot post-scan-xs)")
     args = ap.parse_args()
 
     from otpose_tpu.utils.backend import ensure_live_backend
@@ -114,6 +118,42 @@ def main():
             ts, m = step(ts, batch, key)
         fence(m)
         return (time.perf_counter() - t0) / args.iters, ts
+
+    if args.ab_batch:
+        # A: batch B, remat off (fits 16GB for B<=8 — CLAUDE.md); B: batch
+        # 2B, remat on (required above 8).  Throughput race in clips/s: the
+        # round-2 receipt (b8-no-remat 13.7% faster than b8-remat, and b16
+        # -remat OOM-free) predates the scan-xs deform backward, which
+        # shrank the step's live-transient profile.
+        from otpose_tpu.engine.trainer import make_train_step as _mts
+
+        step_s = _mts(spec, opt, compute_dtype=dt, remat=False, donate=False)
+        step_l = _mts(spec, opt, compute_dtype=dt, remat=True, donate=False)
+        big = {
+            "inputs": jnp.asarray(rng.randn(2 * b, 384, 288, 15), jnp.float32),
+            "margin": jnp.ones((2 * b, 4), jnp.float32),
+            "target": jnp.asarray(rng.rand(2 * b, 96, 72, 17), jnp.float32),
+            "target_weight": jnp.ones((2 * b, 17, 1), jnp.float32),
+        }
+        ts_a = TrainState(params, state, opt.init(params), 0)
+        ts_b = TrainState(params, state, opt.init(params), 0)
+        ts_a, m = step_s(ts_a, batch, key); fence(m)
+        ts_b, m = step_l(ts_b, big, key); fence(m)
+        for rnd in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                ts_a, m = step_s(ts_a, batch, key)
+            fence(m)
+            dt_a = (time.perf_counter() - t0) / args.iters
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                ts_b, m = step_l(ts_b, big, key)
+            fence(m)
+            dt_b = (time.perf_counter() - t0) / args.iters
+            print(f"round {rnd}: b{b} no-remat {dt_a*1e3:.1f} ms "
+                  f"({b/dt_a:.2f} clips/s)   b{2*b} remat {dt_b*1e3:.1f} ms "
+                  f"({2*b/dt_b:.2f} clips/s)", flush=True)
+        return
 
     if args.ab_accum:
         # A: one step at batch 2B with accum_steps=2 (activations stay at B);
