@@ -84,6 +84,10 @@ def test_bench_watchdog_emits_parseable_line():
     assert rec["value"] is None
     assert "timeout at" in rec["error"]
     assert rec["metric"].startswith("posetrack17_eval_forward")
+    # the diagnostic surfaces the last real on-chip reading from the
+    # committed .bench_last_onchip.json cache (written on every TPU run)
+    assert rec["last_onchip"]["value"] > 0
+    assert rec["last_onchip"]["unit"] == "clips/sec"
 
 
 def _free_port() -> int:
