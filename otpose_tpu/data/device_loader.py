@@ -226,12 +226,17 @@ class DeviceLoader(Loader):
         thread.start()
         threads = [thread]
         final_q = out_q
-        if self.device_prefetch > 0:
+        # snapshot: the pipeline topology (mover thread, final_q) is fixed at
+        # iterator entry, so a mid-epoch mutation of self.device_prefetch
+        # (e.g. tools/exp_device_prefetch toggling arms) must not change
+        # which stage the consumer thinks moved the batch
+        device_prefetch = self.device_prefetch
+        if device_prefetch > 0:
             # second pipeline stage: host samples -> device batches.  JAX
             # dispatch is thread-safe and async, so batch N+1's transfer
             # rides the wire while the chip executes step N; the queue bound
             # caps device memory at device_prefetch in-flight batches.
-            dev_q: queue.Queue = queue.Queue(maxsize=self.device_prefetch)
+            dev_q: queue.Queue = queue.Queue(maxsize=device_prefetch)
 
             def mover():
                 # sole consumer of out_q: drains it to the producer's None
@@ -266,7 +271,7 @@ class DeviceLoader(Loader):
                     break
                 if isinstance(item, BaseException):
                     raise item
-                yield item if self.device_prefetch > 0 \
+                yield item if device_prefetch > 0 \
                     else self._to_device(item)
         finally:
             stop.set()

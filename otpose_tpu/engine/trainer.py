@@ -90,6 +90,10 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
     dropout/drop-path fold of ``rng``.  No reference counterpart (it trains
     batch 2-8/GPU, ref: configs/17/model_RSN.yaml:45); this is the TPU-side
     mechanism for reference-scale *effective* batches beyond 16GB HBM."""
+    if accum_steps < 1:
+        raise ValueError(
+            f"accum_steps (cfg.TPU.ACCUM_STEPS) must be >= 1, got "
+            f"{accum_steps}; use 1 to disable gradient accumulation")
 
     def loss_fn(params, model_state, batch, rng):
         ctx = Ctx(params, model_state, train=True, rng=rng,

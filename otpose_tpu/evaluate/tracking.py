@@ -39,14 +39,19 @@ class MotAccumulator:
         matched_o: Dict[int, int] = {}
         used_h = set()
 
-        # 1. persist previous correspondences where still valid
+        # 1. persist previous correspondences where still valid.  motmetrics
+        # masks hids[j] after each persisted match, so a hypothesis can host
+        # at most ONE persisted object and a duplicate hid falls through to
+        # its next unconsumed occurrence — mirror both via the used_h filter
         for i, o in enumerate(oids):
             h_prev = self.last_match.get(o)
-            if h_prev is not None and h_prev in hids:
-                j = hids.index(h_prev)
-                if not np.isnan(dists[i, j]):
-                    matched_o[i] = j
-                    used_h.add(j)
+            if h_prev is None:
+                continue
+            js = [j for j, h in enumerate(hids)
+                  if h == h_prev and j not in used_h]
+            if js and not np.isnan(dists[i, js[0]]):
+                matched_o[i] = js[0]
+                used_h.add(js[0])
 
         # 2. Hungarian on the rest (NaN forbidden)
         rem_i = [i for i in range(len(oids)) if i not in matched_o]

@@ -16,6 +16,61 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _mesh_context_vars():
+    """The two thread-locals ``jax.sharding.set_mesh`` mutates (verified
+    against this JAX version: set_mesh swaps abstract_mesh_context_manager
+    and device_context and nothing else).  Single source of truth — the test
+    suite's mesh-isolation fixtures import these helpers too, so a jax
+    upgrade breaks exactly one site (loudly, via export tests)."""
+    from jax._src import config as _jcfg
+
+    return _jcfg.abstract_mesh_context_manager, _jcfg.device_context
+
+
+def save_mesh_context():
+    """Snapshot the thread-local mesh context (see restore_mesh_context)."""
+    abs_var, dev_var = _mesh_context_vars()
+    return abs_var.get_local(), dev_var.get_local()
+
+
+def restore_mesh_context(saved) -> None:
+    abs_var, dev_var = _mesh_context_vars()
+    abs_var.set_local(saved[0])
+    dev_var.set_local(saved[1])
+
+
+def _unset_sentinel():
+    """The sentinel jax's Config thread-locals hold when nothing was set.
+
+    Primary source: the ``config_ext`` module jax._src.config itself imports
+    (tracks jax's internals across jaxlib relayouts).  Fallback: read a fresh
+    thread's view of the variable — a new thread has never had set_local
+    called, so get_local() returns the sentinel without importing anything
+    private beyond the Config objects we already hold.  If both fail, raise:
+    silently keeping a leaked context mesh would bake N-device shardings
+    into export artifacts that must stay single-device portable."""
+    from jax._src import config as _jcfg
+
+    unset = getattr(getattr(_jcfg, "config_ext", None), "unset", None)
+    if unset is not None:
+        return unset
+    import threading
+
+    out = {}
+
+    def _read():
+        out["v"] = _mesh_context_vars()[1].get_local()
+
+    t = threading.Thread(target=_read)
+    t.start()
+    t.join()
+    if "v" in out:
+        return out["v"]
+    raise RuntimeError(
+        "cannot determine jax's unset-mesh sentinel (jax internals changed); "
+        "refusing to trace with a possibly-leaked global mesh context")
+
+
 @contextlib.contextmanager
 def null_mesh_context():
     """Temporarily clear the process-global mesh set by jax.sharding.set_mesh.
@@ -24,27 +79,19 @@ def null_mesh_context():
     cli/eval.py), so any tracing that happens later in the same process —
     most importantly ``engine.export.export_eval`` — would otherwise inherit
     that mesh as jit's context mesh and bake multi-device shardings into an
-    artifact that must stay single-device portable.  ``set_mesh`` swaps
-    exactly two thread-locals (verified against jax 0.9:
-    ``jax._src.config.{abstract_mesh_context_manager,device_context}``);
-    this restores both to the library's own unset sentinel and puts the
-    caller's values back on exit."""
-    from jax._src import config as _jcfg
-
-    try:
-        from jaxlib._jax.config import unset as _unset
-    except ImportError:  # jaxlib layout moved — fall back to current locals
-        _unset = None
-    if _unset is None:
-        yield
-        return
-    prev_abs = _jcfg.abstract_mesh_context_manager.swap_local(_unset)
-    prev_dev = _jcfg.device_context.swap_local(_unset)
+    artifact that must stay single-device portable.  This swaps both
+    thread-locals to the library's own unset sentinel and puts the caller's
+    values back on exit; if the sentinel cannot be determined it raises
+    rather than silently exporting under the leaked mesh."""
+    unset = _unset_sentinel()
+    abs_var, dev_var = _mesh_context_vars()
+    prev_abs = abs_var.swap_local(unset)
+    prev_dev = dev_var.swap_local(unset)
     try:
         yield
     finally:
-        _jcfg.abstract_mesh_context_manager.set_local(prev_abs)
-        _jcfg.device_context.set_local(prev_dev)
+        abs_var.set_local(prev_abs)
+        dev_var.set_local(prev_dev)
 
 
 def make_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:

@@ -44,15 +44,6 @@ def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
 
 
-def _mesh_state():
-    """The two thread-locals jax.sharding.set_mesh mutates (verified against
-    this JAX version: set_mesh enters abstract_mesh_context_manager and
-    device_context and nothing else)."""
-    from jax._src import config as _jcfg
-
-    return _jcfg.abstract_mesh_context_manager, _jcfg.device_context
-
-
 @pytest.fixture(autouse=True)
 def _isolate_global_mesh():
     """The CLI classes intentionally set the process-global mesh
@@ -60,13 +51,13 @@ def _isolate_global_mesh():
     the thread-local mesh context around every test so a CLI test cannot
     leak its mesh into later tests (a leaked 'data':8 mesh makes any test
     that enters a different mesh fail with ShardingTypeError: 'Mesh for all
-    inputs should be equal')."""
-    abs_var, dev_var = _mesh_state()
-    prev_abs = abs_var.get_local()
-    prev_dev = dev_var.get_local()
+    inputs should be equal').  The save/restore helpers live in
+    otpose_tpu.parallel.mesh — one site to update when jax internals move."""
+    from otpose_tpu.parallel.mesh import restore_mesh_context, save_mesh_context
+
+    saved = save_mesh_context()
     yield
-    abs_var.set_local(prev_abs)
-    dev_var.set_local(prev_dev)
+    restore_mesh_context(saved)
 
 
 @pytest.fixture(autouse=True, scope="module")
@@ -82,9 +73,8 @@ def _isolate_global_mesh_per_module():
     fixture leaks) and restoring at module teardown keeps the leak visible
     to the module's own tests (their Eval/Train objects rely on it) while
     guaranteeing every module starts pristine."""
-    abs_var, dev_var = _mesh_state()
-    prev_abs = abs_var.get_local()
-    prev_dev = dev_var.get_local()
+    from otpose_tpu.parallel.mesh import restore_mesh_context, save_mesh_context
+
+    saved = save_mesh_context()
     yield
-    abs_var.set_local(prev_abs)
-    dev_var.set_local(prev_dev)
+    restore_mesh_context(saved)

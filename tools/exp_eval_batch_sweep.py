@@ -36,7 +36,6 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
     from bench import _build
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
