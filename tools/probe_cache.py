@@ -1,0 +1,89 @@
+"""Does the axon TPU plugin serialize executables into JAX's persistent
+compilation cache?  (VERDICT r3 weak #3 — both round-3 driver failures are
+downstream of this unknown.)
+
+Usage: python tools/probe_cache.py <salt> [deadline_s=300]
+
+Compiles a salted ~few-second model-ish function with the persistent cache
+enabled and prints one line:
+
+    CACHEPROBE backend=<b> salt=<s> compile_s=<t> hit=<bool>
+
+Run twice with the SAME fresh salt in two fresh processes (>=2 min apart —
+CLAUDE.md chip rules).  First run: hit=False and a slow compile (writes the
+entry, or warns if the plugin cannot serialize).  Second run: hit=True with
+a sub-second compile iff TPU executable serialization works end-to-end.
+
+The compilation-cache logger runs at DEBUG so serialization failures are
+visible in stderr instead of silent.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import sys
+import threading
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main() -> None:
+    salt = int(sys.argv[1])
+    deadline = float(sys.argv[2]) if len(sys.argv) > 2 else 300.0
+
+    def _bail() -> None:
+        print(f"CACHEPROBE WEDGED: no result in {deadline:.0f}s", flush=True)
+        os._exit(3)
+
+    timer = threading.Timer(deadline, _bail)
+    timer.daemon = True
+    timer.start()
+
+    logging.basicConfig(level=logging.WARNING)
+    for name in ("jax._src.compilation_cache", "jax._src.compiler",
+                 "jax._src.cache_key"):
+        logging.getLogger(name).setLevel(logging.DEBUG)
+
+    from otpose_tpu.utils.backend import ensure_live_backend
+
+    ensure_live_backend()  # also enables the persistent compile cache
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_explain_cache_misses", True)
+
+    # warm the backend so compile_s measures compilation, not axon init
+    float(np.asarray(jax.jit(lambda a: a + 1.0)(jnp.float32(1.0))))
+    backend = jax.default_backend()
+
+    # a conv stack big enough to clear the 1 s persistent-cache write
+    # threshold but cheap to execute; `salt` shifts the weights constant so
+    # each experiment gets a fresh cache key
+    def fn(x, w):
+        for i in range(24):
+            x = jax.nn.relu(
+                jax.lax.conv_general_dilated(
+                    x, w + jnp.bfloat16(salt + i), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        return x.mean()
+
+    x = jnp.ones((2, 32, 32, 64), jnp.bfloat16)
+    w = jnp.ones((3, 3, 64, 64), jnp.bfloat16)
+    t0 = time.perf_counter()
+    jitted = jax.jit(fn)
+    val = float(np.asarray(jitted(x, w)))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(val)
+    # heuristic: a persistent-cache hit deserializes in well under a second;
+    # a real compile of 24 convs takes multiple seconds on any backend
+    print(f"CACHEPROBE backend={backend} salt={salt} "
+          f"compile_s={compile_s:.2f} hit={compile_s < 1.0}", flush=True)
+    timer.cancel()
+
+
+if __name__ == "__main__":
+    main()
