@@ -21,7 +21,7 @@ loss, backward, AdamW — on a synthetic flagship-geometry PoseTrack dataset
 Un-hangable by construction (VERDICT r2 task 1): a daemon watchdog thread
 emits a diagnostic JSON line ``{"metric", "value": null, "error": "timeout
 at <phase>"}`` and hard-exits if the global deadline (BENCH_WATCHDOG_SECS,
-default 480 s for the warm eval-TPU path) or the pre-flight phase deadline
+default 560 s — see _DEFAULT_DEADLINE) or the pre-flight phase deadline
 (BENCH_PREFLIGHT_SECS, default 270 s — axon backend init is ~135 s on a
 healthy tunnel) expires.  Paths with known-legitimate long compiles widen
 the default deadline once the backend is known (train mode 1800 s; the
@@ -58,14 +58,37 @@ _WATCHDOG = {
     "deadline": 480.0,     # global, seconds from t0 (mutable: see _widen)
     "printed": False,      # the ONE real JSON line is already out
     "last_cache": None,    # per-metric last-onchip cache path (set in main)
+    "phase_log": [],       # [(name, t_enter)] for per-phase timings
     "done": False,
 }
+# Default global deadline: 560 s.  Evidence for the driver's budget: in
+# round 3 the driver recorded our watchdog line emitted at t=482 s (rc=0),
+# so it waits >482 s; its multichip check dies rc=124 consistent with a
+# `timeout 600`.  560 leaves ~40 s to flush/exit under a 600 s kill while
+# giving the cold-compile path (preflight ~80-135 s + flagship compile
+# ~190-300 s + measure) the headroom round 3 lacked at 480.  A warm
+# persistent cache (axon serializes TPU executables — receipt in STATUS
+# round 4) makes the common case ~90 s total.
+_DEFAULT_DEADLINE = 560.0
 
 
 def _set_phase(name: str, timeout: float | None = None) -> None:
     _WATCHDOG["phase"] = name
+    _WATCHDOG["phase_log"].append((name, time.monotonic()))
     _WATCHDOG["phase_deadline"] = (
         time.monotonic() + timeout if timeout else None)
+
+
+def _phase_durations() -> dict:
+    """Elapsed seconds per completed/current phase (VERDICT r3 task 2: both
+    the diagnostic and the real JSON line carry where the time went)."""
+    log = _WATCHDOG["phase_log"]
+    now = time.monotonic()
+    out = {}
+    for i, (name, t_in) in enumerate(log):
+        t_out = log[i + 1][1] if i + 1 < len(log) else now
+        out[name] = round(t_out - t_in, 1)
+    return out
 
 
 def _widen_deadline(seconds: float) -> None:
@@ -93,6 +116,7 @@ def _watchdog_loop() -> None:
                     "vs_baseline": None,
                     "error": "timeout at %s after %.0fs" % (
                         _WATCHDOG["phase"], elapsed),
+                    "phases": _phase_durations(),
                 }
                 try:
                     line["last_onchip"] = json.load(
@@ -362,7 +386,8 @@ def main():
     last_cache = LAST_ONCHIP_TRAIN_CACHE if train_mode else LAST_ONCHIP_CACHE
     _WATCHDOG["last_cache"] = last_cache
     _start_watchdog(metric_base,
-                    float(os.environ.get("BENCH_WATCHDOG_SECS", "480")))
+                    float(os.environ.get("BENCH_WATCHDOG_SECS",
+                                         str(_DEFAULT_DEADLINE))))
     if train_mode:
         # the flagship train step is a much longer compile than the eval
         # forward (15-20 min cold); don't kill a healthy first-ever run
@@ -401,6 +426,7 @@ def main():
             "value": round(value, 3),
             "unit": "clips/sec",
             "vs_baseline": None,
+            "phases": _phase_durations(),
         }), flush=True)
         _WATCHDOG["printed"] = True
         if backend == "tpu":
@@ -420,6 +446,7 @@ def main():
         "value": round(value, 3),
         "unit": "clips/sec",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "phases": _phase_durations(),
     }), flush=True)
     _WATCHDOG["printed"] = True
 

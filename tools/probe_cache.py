@@ -75,9 +75,10 @@ def main() -> None:
     w = jnp.ones((3, 3, 64, 64), jnp.bfloat16)
     t0 = time.perf_counter()
     jitted = jax.jit(fn)
-    val = float(np.asarray(jitted(x, w)))
+    val = float(np.asarray(jitted(x, w)))  # fetch fences compile+execute
     compile_s = time.perf_counter() - t0
-    assert np.isfinite(val)
+    del val  # all-ones relu conv stack overflows bf16 to inf — irrelevant:
+    # the probe measures compile/deserialize time, not numerics
     # heuristic: a persistent-cache hit deserializes in well under a second;
     # a real compile of 24 convs takes multiple seconds on any backend
     print(f"CACHEPROBE backend={backend} salt={salt} "
