@@ -120,11 +120,20 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
             micro = tree_map(
                 lambda x: x.reshape((accum_steps, b // accum_steps)
                                     + x.shape[1:]), batch)
-            # micro-batch 0 outside the scan pins the grads/metrics pytree
-            # structure for the carry; the scan accumulates sums in-place
-            (_, (m_acc, state)), g_acc = grad_fn(
-                ts.params, ts.model_state, tree_map(lambda x: x[0], micro),
-                jax.random.fold_in(rng, 0))
+            # ALL micro-batches run inside the scan; the zero-initialized
+            # grads/metrics carry gets its pytree structure from eval_shape
+            # (abstract evaluation only — nothing executes).  The previous
+            # formulation ran micro-batch 0 OUTSIDE the scan to pin the
+            # carry structure, which compiled a second full fwd+bwd whose
+            # body-scale temporaries coexisted with the scan body's in XLA
+            # buffer assignment: flagship accum2@16 demanded 21.96G of the
+            # chip's 15.75G HBM (round-4 sweep receipt in STATUS.md).
+            (_, (m_shapes, _)), g_shapes = jax.eval_shape(
+                grad_fn, ts.params, ts.model_state,
+                tree_map(lambda x: x[0], micro), rng)
+
+            def zeros_of(tree):
+                return tree_map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
 
             def body(carry, xs):
                 state, g_acc, m_acc = carry
@@ -135,9 +144,8 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
                         tree_map(jnp.add, m_acc, m)), None
 
             (state, g_acc, m_acc), _ = jax.lax.scan(
-                body, (state, g_acc, m_acc),
-                (tree_map(lambda x: x[1:], micro),
-                 jnp.arange(1, accum_steps)))
+                body, (ts.model_state, zeros_of(g_shapes), zeros_of(m_shapes)),
+                (micro, jnp.arange(accum_steps)))
             grads = tree_map(lambda g: g / accum_steps, g_acc)
             metrics = tree_map(lambda m: m / accum_steps, m_acc)
             new_model_state = state
