@@ -294,8 +294,14 @@ def _measure_train_e2e(batch: int, iters: int) -> float:
         cfg.DATASET.COLOR_RGB = True
         cfg.TRAIN.PROB_HALF_BODY = 0.0
         # batch 8 fits without remat since the bf16/(B,C,T) work and runs
-        # 13.7% faster (tools/time_train_step.py receipts in STATUS.md)
-        cfg.TPU.REMAT = batch > 8
+        # 13.7% faster (tools/time_train_step.py receipts in STATUS.md).
+        # Batches above 8 use gradient ACCUMULATION at micro-batch 8, not
+        # remat: the round-4 sweep measured b16+remat OOM (16.23G of the
+        # 15.75G HBM — the f32 deform tent buffer's remat copies alone are
+        # 1.5G) while accum2@16 runs at 910 ms/update and beats 2x b8
+        # steps by ~20% per clip (STATUS.md round-4 sweep).
+        cfg.TPU.REMAT = False
+        cfg.TPU.ACCUM_STEPS = max(1, (batch + 7) // 8) if batch > 8 else 1
 
         spec = OTPoseSpec.from_cfg(cfg)
         params, state = init_otpose(jax.random.PRNGKey(0), spec)
@@ -307,7 +313,8 @@ def _measure_train_e2e(batch: int, iters: int) -> float:
         ts = init_train_state(params, state, optimizer)
         compute = jnp.bfloat16 if backend == "tpu" else jnp.float32
         step_fn = make_train_step(spec, optimizer, compute_dtype=compute,
-                                  donate=True, remat=cfg.TPU.REMAT)
+                                  donate=True, remat=cfg.TPU.REMAT,
+                                  accum_steps=cfg.TPU.ACCUM_STEPS)
 
         def fence(t):
             float(np.asarray(jax.device_get(t.step)))

@@ -74,11 +74,15 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
     """Build the jit'd train step: (TrainState, batch, rng) -> (TrainState, metrics).
 
     ``remat=True`` recomputes the whole forward during the backward pass
-    (cfg.TPU.REMAT) — trades ~1 extra forward for activation memory, enabling
-    larger per-chip batches.  Flagship batch 8 fits WITHOUT remat on a 16GB
-    v5e since the round-2 bf16/(B,C,T) activation work and runs 13.7%
-    faster that way (516.5 vs 598.2 ms/step measured); turn it on for
-    larger per-chip batches.
+    (cfg.TPU.REMAT) — trades ~1 extra forward for activation memory.
+    Flagship batch 8 fits WITHOUT remat on a 16GB v5e since the round-2
+    bf16/(B,C,T) activation work and runs 13.7% faster that way (516.5 vs
+    598.2 ms/step measured).  Remat does NOT rescue flagship batch 16 on
+    16GB: the round-4 sweep measured a compile-time OOM at 16.23G of
+    15.75G HBM (the f32 deform tent buffer's remat compressed+uncompressed
+    copies alone are ~1.5G) — use ``accum_steps`` for effective batches
+    above 8 instead (accum2@16 runs at ~910 ms/update and beats two b8
+    steps by ~20%/clip, STATUS.md round-4 sweep).
 
     ``accum_steps=K > 1`` (cfg.TPU.ACCUM_STEPS) runs gradient accumulation:
     the incoming batch (size K*m) is split into K micro-batches processed
