@@ -133,6 +133,11 @@ def make_optimizer(params: Dict[str, jnp.ndarray], cfg,
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
         chain.append(optax.add_decayed_weights(cfg.TRAIN.WD, mask=wd_mask))
     elif name == "SGD":
+        # torch SGD weight decay is COUPLED: wd*p is added to the gradient
+        # before the momentum accumulator (ref: make_optimizer passes the
+        # group weight_decay to optim.SGD, train_utils.py:116-137,121)
+        if cfg.TRAIN.WD:
+            chain.append(optax.add_decayed_weights(cfg.TRAIN.WD, mask=wd_mask))
         if cfg.TRAIN.MOMENTUM:
             chain.append(optax.trace(decay=cfg.TRAIN.MOMENTUM,
                                      nesterov=cfg.TRAIN.NESTEROV))

@@ -72,6 +72,32 @@ def import_reference_evaluate():
     return import_reference_module("utils.evaluate")
 
 
+def import_reference_train_utils():
+    """Import the reference's optimizer/scheduler factory
+    (thirdparty/utils/train_utils.py:62-205) as a real package module so its
+    relative imports (.lr_schedulers, .postprocessing) resolve.
+
+    Requires the 'thirdparty' stub that ``build_reference_otpose`` installs
+    (train_utils imports model.layers, which needs the DCN stand-in): giving
+    that stub a ``__path__`` into the reference tree turns it into the actual
+    package for the import machinery.
+    """
+    import importlib
+
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference repo not available")
+    pkg = sys.modules.get("thirdparty")
+    if pkg is None:
+        pytest.skip("build_reference_otpose must run first (installs DCN stub)")
+    pkg.__path__ = [os.path.join(REFERENCE_DIR, "thirdparty")]
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    try:
+        return importlib.import_module("thirdparty.utils.train_utils")
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference train_utils not importable: {e}")
+
+
 def make_hrnet_cfg(num_joints=17, width=(32, 64, 128, 256), final_kernel=1,
                    stage_modules=(1, 2, 1)):
     """A small HRNet cfg accepted by both the reference model and ours."""

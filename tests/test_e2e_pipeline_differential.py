@@ -103,7 +103,8 @@ def torch_model_and_ckpt(pipeline_cfg):
     return ref, pth
 
 
-def _run_reference_pipeline(cfg, annot_dir, ref_model, out_dir):
+def _run_reference_pipeline(cfg, annot_dir, ref_model, out_dir,
+                            phase="validate"):
     """The reference's own eval pipeline end-to-end (accumulation loop per
     script/Common.py:296-453, decode per utils/heatmap.py:108-140, writer +
     scorer per dataset/PoseTrackDataset.py:453-608)."""
@@ -118,7 +119,7 @@ def _run_reference_pipeline(cfg, annot_dir, ref_model, out_dir):
     ref_ds_mod = import_reference_module("dataset.PoseTrackDataset")
     ref_heatmap = import_reference_module("utils.heatmap")
 
-    ds = ref_ds_mod.PoseTrackDataset(cfg, "validate")
+    ds = ref_ds_mod.PoseTrackDataset(cfg, phase)
     ds.transform = _eval_transform()
     loader = torch.utils.data.DataLoader(ds, batch_size=4, shuffle=False,
                                          num_workers=0)
@@ -166,16 +167,19 @@ def _run_reference_pipeline(cfg, annot_dir, ref_model, out_dir):
     return name_values, float(mean_ap)
 
 
-def _run_our_cli(root, cfg, pth):
+def _run_our_cli(root, cfg, pth, phase="validate"):
     """Our shipped eval CLI on the same data + the same torch weights."""
     cfg = cfg.clone()
-    cfg.VAL.MODEL_FILE = pth
-    yaml_path = root / "e2e_diff.yaml"
+    if phase == "validate":
+        cfg.VAL.MODEL_FILE = pth
+    else:
+        cfg.TEST.MODEL_FILE = pth
+    yaml_path = root / f"e2e_diff_{phase}.yaml"
     yaml_path.write_text(cfg.dump())
 
     from otpose_tpu.cli.eval import Eval
 
-    ev = Eval("validate", default_parse_args(
+    ev = Eval(phase, default_parse_args(
         ["--cfg", str(yaml_path), "--root_dir", str(root)]))
     results = ev.eval()
     assert len(results) == 1
@@ -203,6 +207,85 @@ def test_pipeline_ap_table_matches_reference(pipeline_cfg,
 
     # guards that the differential is not trivially passing: the untrained
     # model must be imperfect, and the table must not be empty/degenerate
+    finite = ref_table[np.isfinite(ref_table)]
+    assert finite.size > 0
+    assert np.nanmin(ref_table) < 99.0, ref_table
+
+
+@pytest.fixture(scope="module")
+def detection_boxes(pipeline_cfg):
+    """Jittered-GT detection boxes in the reference's precomputed-boxes
+    format (ref: PoseTrackDataset.py:176-226: {image_name, bbox xywh, score,
+    category_id, nframes, frame_id}), plus sub-threshold and non-person
+    entries both loaders must drop."""
+    import json
+
+    root, cfg, _ = pipeline_cfg
+    val = json.load(open(osp.join(cfg.DATASET.JSON_DIR, "posetrack_val.json")))
+    by_img = {}
+    for a in val["annotations"]:
+        by_img.setdefault(a["image_id"], []).append(a)
+    rng = np.random.RandomState(7)
+    boxes = []
+    for im in val["images"]:
+        for a in by_img.get(im["id"], []):
+            x, y, w, h = [float(v) for v in a["bbox"]]
+            jit = rng.uniform(-2.0, 2.0, size=4)
+            boxes.append({
+                "image_name": im["file_name"],
+                "bbox": [x + jit[0], y + jit[1],
+                         max(w + jit[2], 8.0), max(h + jit[3], 8.0)],
+                "score": float(rng.uniform(0.5, 0.99)),
+                "category_id": 1,
+                "nframes": im["nframes"],
+                "frame_id": im["frame_id"],
+            })
+        # below IMAGE_THRE -> must be filtered by both loaders
+        boxes.append({"image_name": im["file_name"], "bbox": [1, 1, 10, 10],
+                      "score": 0.01, "category_id": 1,
+                      "nframes": im["nframes"], "frame_id": im["frame_id"]})
+        # non-person -> must be filtered by both loaders
+        boxes.append({"image_name": im["file_name"], "bbox": [2, 2, 12, 12],
+                      "score": 0.9, "category_id": 3,
+                      "nframes": im["nframes"], "frame_id": im["frame_id"]})
+    out = str(root / "det_boxes.json")
+    json.dump(boxes, open(out, "w"))
+    return out
+
+
+@pytest.mark.slow
+def test_pipeline_ap_table_matches_reference_detection_boxes(
+        pipeline_cfg, torch_model_and_ckpt, detection_boxes):
+    """The same head-to-head on the DETECTION-box path (phase='test',
+    USE_GT_BBOX=False): the reference's _load_detection_results loader —
+    score threshold, person-class filter, box2cs on detector xywh boxes
+    (ref: PoseTrackDataset.py:176-226, gate :92-99) — composed through its
+    forward/decode/writer/scorer vs our shipped ``cli/eval`` in test phase
+    on the identical boxes json and converted weights."""
+    root, cfg, annot_dir = pipeline_cfg
+    ref_model, pth = torch_model_and_ckpt
+
+    cfg = cfg.clone()
+    cfg.EXPERIMENT_NAME = "e2e_diff_det"
+    cfg.TEST.USE_GT_BBOX = False
+    cfg.TEST.COCO_BBOX_FILE = detection_boxes
+    cfg.TEST.ANNOT_DIR = annot_dir
+    cfg.TEST.IMAGE_THRE = 0.1
+    cfg.TEST.BATCH_SIZE_PER_GPU = 1
+    cfg.TEST.FLIP_TEST = False
+
+    ref_nv, ref_mean = _run_reference_pipeline(
+        cfg, annot_dir, ref_model, str(root / "ref_out_det"), phase="test")
+    our_nv, our_mean = _run_our_cli(root, cfg, pth, phase="test")
+
+    ref_table = np.asarray([ref_nv[k] for k in AP_KEYS], np.float64)
+    our_table = np.asarray([our_nv[k] for k in AP_KEYS], np.float64)
+    print("detection-path differential AP table:",
+          dict(zip(AP_KEYS, ref_table)))
+    np.testing.assert_allclose(
+        our_table, ref_table, rtol=0, atol=1e-9, equal_nan=True,
+        err_msg=f"AP table mismatch: ours={our_table} ref={ref_table}")
+    assert our_mean == pytest.approx(ref_mean, abs=1e-9)
     finite = ref_table[np.isfinite(ref_table)]
     assert finite.size > 0
     assert np.nanmin(ref_table) < 99.0, ref_table

@@ -1,0 +1,154 @@
+"""Optimizer-TRAJECTORY differential vs the reference's own factories.
+
+Composes the pieces that are unit-tested separately — three-group param
+classification, global-norm clip 1.0, AdamW/SGD update rules, decoupled vs
+coupled weight decay, and the per-iteration linear-warmup-cosine schedule —
+into one multi-step oracle: identical gradient sequences are fed to the
+reference's ``make_optimizer``/``make_scheduler``
+(ref: thirdparty/utils/train_utils.py:62-205) driving the reference torch
+OTPose, and to our optax chain (otpose_tpu/engine/optim.py), and the full
+parameter trajectories must track across the warmup->cosine boundary.
+
+Together with full-model *gradient* parity (tests/test_full_model_parity.py)
+this closes the training-loop composition: equal grads + equal update rule
+applied step-for-step => equal trajectories, up to data.
+
+Gotcha baked into the harness: grads handed to torch are copied first —
+``jnp.asarray`` zero-copies contiguous 1-D numpy buffers on the CPU backend,
+and ``torch.from_numpy`` shares memory too, so torch's in-place
+``clip_grad_norm_`` would otherwise silently rescale the "jax" gradients.
+"""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from tests.helpers.reference import (import_reference_train_utils,
+                                     make_hrnet_cfg)
+
+
+def _make_cfg(optimizer="AdamW"):
+    from otpose_tpu.config.node import CfgNode
+
+    cfg = make_hrnet_cfg(num_joints=17, width=(8, 16, 32, 64),
+                         stage_modules=(1, 1, 1))
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.FREEZE_HRNET_WEIGHTS = False
+    cfg.MODEL.DEFORMABLE_CONV = {"DILATION": [3, 6],
+                                 "AGGREGATION_TYPE": "weighted_sum"}
+    cfg.MODEL.DEFORMABLE_CONV_CH = 16
+    cfg.MODEL.OFFSET_MASK_COMBINE_CONV = 1
+    cfg.LOSS = {"NAME": "ST_OHKW_MSELoss", "USE_TARGET_WEIGHT": True}
+    cfg.TRAIN = CfgNode()
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.WD = 0.05
+    cfg.TRAIN.OPTIMIZER = optimizer
+    cfg.TRAIN.WARMUP = True
+    cfg.TRAIN.WARMUP_EPOCHS = 1
+    cfg.TRAIN.END_EPOCH = 3
+    cfg.TRAIN.LR_SCHEDULER = "CosineAnnealingLR"
+    cfg.TRAIN.GAMMA = 0.99
+    cfg.TRAIN.MOMENTUM = 0.9
+    cfg.TRAIN.NESTEROV = False
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def traj_setup():
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not available")
+    from tests.helpers.torch_otpose import build_reference_otpose
+
+    cfg = _make_cfg()
+    torch.manual_seed(0)
+    ref = build_reference_otpose(cfg)
+    ref.train()
+    tu = import_reference_train_utils()
+    return torch, ref, tu
+
+
+def test_param_group_classification_matches_reference(traj_setup):
+    """Every parameter must land in the same decay/no_decay/pretrained group
+    the reference's make_optimizer computes via module-type white/blacklists
+    (ref: train_utils.py:68-116) — incl. the def_fuse-prefix and
+    RSB-BN-weight quirks our name-based classifier mirrors."""
+    from otpose_tpu.engine.optim import classify_param
+
+    torch, ref, tu = traj_setup
+    ref_opt = tu.make_optimizer(ref, _make_cfg())
+    id2name = {id(p): n for n, p in ref.named_parameters()}
+    group_names = ["decay", "no_decay", "pretrained"]
+    assert len(ref_opt.param_groups) == 3
+    seen = set()
+    for gi, grp in enumerate(ref_opt.param_groups):
+        for p in grp["params"]:
+            name = id2name[id(p)]
+            assert name not in seen, f"{name} in two groups"
+            seen.add(name)
+            assert classify_param(name) == group_names[gi], name
+    assert seen == set(id2name.values())
+
+
+def _run_trajectory(traj_setup, optimizer_name, n_steps=6, n_iters_per_epoch=3):
+    import jax.numpy as jnp
+    import optax
+
+    from otpose_tpu.engine.optim import make_optimizer, make_schedule
+    from otpose_tpu.models.torch2jax import convert_state_dict
+
+    torch, ref0, tu = traj_setup
+    cfg = _make_cfg(optimizer_name)
+    ref = copy.deepcopy(ref0)
+    ref_opt = tu.make_optimizer(ref, cfg)
+    ref_sched = tu.make_scheduler(ref_opt, cfg,
+                                  num_iters_per_epoch=n_iters_per_epoch)
+
+    params, _ = convert_state_dict(ref.state_dict())
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    schedule = make_schedule(cfg, num_iters_per_epoch=n_iters_per_epoch)
+    opt = make_optimizer(jparams, cfg, schedule)
+    opt_state = opt.init(jparams)
+
+    for step in range(n_steps):
+        g = np.random.RandomState(100 + step)
+        tgrads = {}
+        for n, p in sorted(ref.named_parameters()):
+            tgrads[n] = g.randn(*p.shape).astype(np.float32) * 0.05
+            p.grad = torch.from_numpy(tgrads[n].copy())  # NO buffer sharing
+        jg, _ = convert_state_dict(
+            {n: torch.from_numpy(v) for n, v in tgrads.items()})
+        jgrads = {k: jnp.asarray(v) for k, v in jg.items()}
+
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.0)
+        ref_opt.step()
+        ref_sched.step()       # per-iteration, after step (ref: Common.py:143-144)
+        ref_opt.zero_grad()
+
+        updates, opt_state = opt.update(jgrads, opt_state, jparams)
+        jparams = optax.apply_updates(jparams, updates)
+
+        ref_p, _ = convert_state_dict(ref.state_dict())
+        for k, rp in ref_p.items():
+            op = np.asarray(jparams[k], np.float64)
+            rp = np.asarray(rp, np.float64)
+            diff = float(np.abs(op - rp).max())
+            scale = float(np.abs(rp).max())
+            # measured envelope: max absdiff 1.4e-8 over 8 AdamW steps; a
+            # real rule divergence measures ~lr (1e-3) within one step
+            assert diff <= 1e-6 + 1e-4 * scale, \
+                f"step {step} {k}: {diff} vs scale {scale}"
+
+
+def test_adamw_trajectory_matches_reference(traj_setup):
+    """AdamW + decoupled WD + 3 group LRs + clip + warmup->cosine, 6 steps."""
+    _run_trajectory(traj_setup, "AdamW")
+
+
+def test_sgd_trajectory_matches_reference(traj_setup):
+    """SGD + momentum + COUPLED weight decay (wd*p added to the gradient
+    before the momentum buffer, matching torch SGD semantics — ref:
+    train_utils.py:117-122)."""
+    _run_trajectory(traj_setup, "SGD")
