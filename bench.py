@@ -301,7 +301,12 @@ def _measure_train_e2e(batch: int, iters: int) -> float:
         # 1.5G) while accum2@16 runs at 910 ms/update and beats 2x b8
         # steps by ~20% per clip (STATUS.md round-4 sweep).
         cfg.TPU.REMAT = False
-        cfg.TPU.ACCUM_STEPS = max(1, (batch + 7) // 8) if batch > 8 else 1
+        # smallest DIVISOR of batch with micro-batch <= 8 (accum_steps must
+        # divide the batch or make_train_step rejects it; worst case a prime
+        # batch runs micro-batch 1)
+        cfg.TPU.ACCUM_STEPS = next(
+            (k for k in range(1, batch + 1)
+             if batch % k == 0 and batch // k <= 8), batch)
 
         spec = OTPoseSpec.from_cfg(cfg)
         params, state = init_otpose(jax.random.PRNGKey(0), spec)

@@ -143,7 +143,8 @@ _C.TRAIN.STSN_LR = 0.001
 _C.TRAIN.OPTIMIZER = "AdamW"
 _C.TRAIN.MOMENTUM = 0.9
 _C.TRAIN.WD = 0.05
-_C.TRAIN.NESTEROV = False
+_C.TRAIN.NESTEROV = False  # parsed-but-ignored, as in the reference (its
+# make_optimizer never passes nesterov to optim.SGD, train_utils.py:124-128)
 _C.TRAIN.GAMMA1 = 0.99
 _C.TRAIN.GAMMA2 = 0.0
 _C.TRAIN.BEGIN_EPOCH = 0

@@ -139,8 +139,12 @@ def make_optimizer(params: Dict[str, jnp.ndarray], cfg,
         if cfg.TRAIN.WD:
             chain.append(optax.add_decayed_weights(cfg.TRAIN.WD, mask=wd_mask))
         if cfg.TRAIN.MOMENTUM:
+            # plain momentum: the reference factory never passes nesterov to
+            # optim.SGD (train_utils.py:124-128), so the TRAIN.NESTEROV cfg
+            # key is parsed-but-ignored there; mirror that to keep SGD
+            # trajectories reference-equal
             chain.append(optax.trace(decay=cfg.TRAIN.MOMENTUM,
-                                     nesterov=cfg.TRAIN.NESTEROV))
+                                     nesterov=False))
     else:
         raise ValueError(f"Unsupported optimizer {name}")
     chain.append(scale_by_group_lr())
