@@ -149,35 +149,3 @@ def test_assignment_scores_labels_match_reference(ref_eval):
                 np.asarray(l_ref[j][img], np.int8).ravel(),
                 err_msg=f"labels joint {j} img {img}")
 
-
-def test_pck_accuracy_matches_reference(ref_eval):
-    """Train-time PCK meter differential: our evaluate/pck.py::accuracy vs
-    the reference's accuracy/calc_dists/dist_acc (ref: utils/evaluate.py:
-    352-415) on random heatmaps with invisible joints (decoded target coords
-    <=1), an all-invisible joint (the dist_acc -1 exclusion branch), and
-    exact argmax ties (tie-break = first flat index)."""
-    from otpose_tpu.evaluate.pck import accuracy
-
-    rng = np.random.RandomState(3)
-    for trial in range(4):
-        b, j, h, w = 4, 17, 16, 12
-        out = rng.rand(b, j, h, w).astype(np.float32)
-        tgt = rng.rand(b, j, h, w).astype(np.float32)
-        for n in range(b):
-            for c in range(j):
-                if rng.rand() < 0.3:            # invisible: peak at (0, 0)
-                    tgt[n, c] = 0.0
-                    tgt[n, c, 0, 0] = 1.0
-        tgt[:, 5] = 0.0                          # joint 5 invisible everywhere
-        tgt[:, 5, 0, 0] = 1.0
-        # exact ties in pred and target heatmaps
-        out[0, 1, 3, 4] = out[0, 1, 7, 2] = out[0, 1].max() + 1.0
-        tgt[1, 2, 5, 5] = tgt[1, 2, 9, 1] = tgt[1, 2].max() + 1.0
-
-        acc_r, avg_r, cnt_r, pred_r = ref_eval.accuracy(out.copy(), tgt.copy())
-        acc_o, avg_o, cnt_o, pred_o = accuracy(out, tgt)
-        np.testing.assert_allclose(acc_o, acc_r, atol=1e-12,
-                                   err_msg=f"trial {trial}")
-        assert cnt_o == cnt_r
-        assert float(avg_o) == pytest.approx(float(avg_r), abs=1e-12)
-        np.testing.assert_array_equal(pred_o, pred_r)
