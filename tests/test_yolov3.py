@@ -275,3 +275,94 @@ def test_tiny_stride1_maxpool_keeps_size():
     # interior: max over the 2x2 window anchored top-left
     np.testing.assert_array_equal(np.asarray(y)[0, :, :, 0][:3, :3],
                                   np.asarray(x)[0, 1:, 1:, 0])
+
+
+def test_yolo_forward_matches_reference_darknet(tmp_path):
+    """Graph differential vs the reference's torch Darknet: the reference
+    builds its cfg-file model (ref: object_detector/YOLOv3/models.py:234-276),
+    we randomize its params/BN stats, save a real .weights binary with ITS
+    writer (models.py:335+), load that file with OUR loader, and the decoded
+    (B, N, 85) outputs must match — pinning routes, shortcuts, BN-eval conv
+    stacks, and all three anchor-decode heads (order: stride 32, 16, 8)."""
+    torch = pytest.importorskip("torch")
+    if not osp.isdir("/root/reference"):
+        pytest.skip("reference repo not available")
+    import importlib
+
+    import jax.numpy as jnp
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    models = importlib.import_module("object_detector.YOLOv3.models")
+    ref = models.Darknet("/root/reference/object_detector/YOLOv3/config/yolov3.cfg")
+
+    g = np.random.RandomState(0)
+    with torch.no_grad():
+        for _, p in sorted(ref.named_parameters()):
+            if p.ndim == 4:     # conv kernels: keep fan-in scaling so the
+                scale = (2.0 / (p.shape[1] * p.shape[2] * p.shape[3])) ** 0.5
+            else:
+                scale = 0.1
+            p.copy_(torch.from_numpy(
+                g.randn(*p.shape).astype(np.float32) * scale))
+        # BN affine near identity so activations keep healthy magnitude
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(1.0 + 0.1 * torch.from_numpy(
+                    g.randn(*m.weight.shape).astype(np.float32)))
+        # tame the three no-BN detection-head convs: raw w/h logits feed
+        # exp() in the decode, and unnormalized random heads overflow to inf
+        for module_def, module in zip(ref.module_defs, ref.module_list):
+            if module_def["type"] == "convolutional" and \
+                    not int(module_def.get("batch_normalize", 0)):
+                module[0].weight.mul_(0.05)
+                module[0].bias.mul_(0.05)
+
+    # CALIBRATE the BN running stats: with purely random weights the 75-layer
+    # stack explodes to inf (leaky-relu gains compound); a momentum-1
+    # train-mode pass writes each layer's true batch statistics into the
+    # running buffers, so the eval forward is self-normalized at every layer
+    img = 64
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.momentum = 1.0
+        ref.train()
+        ref(torch.from_numpy(g.randn(4, 3, img, img).astype(np.float32)))
+
+    wpath = str(tmp_path / "rand.weights")
+    ref.header_info = np.zeros(5, dtype=np.int32)  # loader reads 5x int32
+    ref.save_weights(wpath)
+
+    img = 64
+    for m in ref.modules():
+        if isinstance(m, models.YOLOLayer):
+            m.image_dim = img  # cfg bakes 416; evaluate both sides at 64
+    ref.eval()
+    x = g.randn(1, 3, img, img).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+
+    w = Y.load_darknet_weights(wpath)
+    out = np.asarray(Y.yolo_forward(
+        w, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), img_size=img))
+    assert out.shape == out_ref.shape == (1, (4 + 16 + 64) * 3, 85)
+
+    # map our per-head flattening (grid-major: y, x, anchor) onto the
+    # reference's (anchor-major: anchor, y, x — models.py:159-163 view).
+    # Ordering is an internal layout choice — NMS consumes the set — so the
+    # differential compares matched cells, not raw indices.
+    parts = []
+    for g_, sl in [(2, slice(0, 12)), (4, slice(12, 60)), (8, slice(60, 252))]:
+        h = out[:, sl].reshape(1, g_, g_, 3, 85)
+        parts.append(np.transpose(h, (0, 3, 1, 2, 4)).reshape(1, -1, 85))
+    out = np.concatenate(parts, axis=1)
+
+    # boxes are in pixels (<= ~img scale), obj/cls in [0, 1]; measured
+    # envelope 1.8e-3 / 1.7e-6 (f32 conv stacks, torch vs XLA)
+    box_diff = np.abs(out[..., :4] - out_ref[..., :4]).max()
+    prob_diff = np.abs(out[..., 4:] - out_ref[..., 4:]).max()
+    assert box_diff <= 2e-2, box_diff
+    assert prob_diff <= 1e-4, prob_diff
+    # non-degenerate: probabilities must actually vary across cells
+    assert np.std(out_ref[..., 4]) > 1e-3
