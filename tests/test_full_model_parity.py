@@ -122,6 +122,7 @@ def test_full_forward_parity_flagship_shape():
         assert diff <= 1e-3, f"{name}: max abs diff {diff}"
 
 
+@pytest.mark.slow
 def test_full_gradient_parity(parity_pair):
     """Training-path parity: d(total loss)/d(params) of the COMPLETE model —
     train-mode forward (batch-stats BN), the reference loss combination
@@ -233,3 +234,49 @@ def test_init_keys_match_reference_otpose(parity_pair):
     assert set(state.keys()) == set(ref_state.keys())
     for k in params:
         assert tuple(params[k].shape) == tuple(ref_params[k].shape), k
+
+
+def test_full_forward_parity_final_kernel3():
+    """FINAL_CONV_KERNEL=3 parity: exercises the non-commuted final-layer
+    fallback (otpose.py: commute=False — a 3x3 final conv cannot commute
+    through the branch upsample, so features are stacked to NHWC and
+    convolved) against the reference's padded 3x3 final convs
+    (ref: model/OTPose.py:221-233, HRNet.py final layer)."""
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not available")
+    from tests.helpers.torch_otpose import build_reference_otpose
+
+    cfg = make_hrnet_cfg(num_joints=17, width=(8, 16, 32, 64),
+                         stage_modules=(1, 1, 1), final_kernel=3)
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]
+    cfg.MODEL.FREEZE_HRNET_WEIGHTS = False
+    cfg.MODEL.DEFORMABLE_CONV = {"DILATION": [3, 6],
+                                 "AGGREGATION_TYPE": "weighted_sum"}
+    cfg.MODEL.DEFORMABLE_CONV_CH = 16
+    cfg.MODEL.OFFSET_MASK_COMBINE_CONV = 1
+    cfg.LOSS = {"NAME": "ST_OHKW_MSELoss", "USE_TARGET_WEIGHT": True}
+
+    torch.manual_seed(0)
+    ref = build_reference_otpose(cfg)
+    ref.eval()
+    params, state = convert_state_dict(ref.state_dict())
+    spec = OTPoseSpec.from_cfg(cfg)
+    assert spec.hrnet.final_conv_kernel == 3
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 15, 64, 64).astype(np.float32)
+    margin = np.array([[1, 1, 2, 2], [1, 0, 2, 0]], dtype=np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), margin=torch.from_numpy(margin))
+
+    ctx = Ctx({k: jnp.asarray(v) for k, v in params.items()},
+              {k: jnp.asarray(v) for k, v in state.items()}, train=False)
+    ours = otpose_forward(ctx, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                          jnp.asarray(margin), spec)
+    names = ["output_heatmaps", "rough_heatmaps", "intersection", "prev_b",
+             "context_encoding", "squeezed", "total_b"]
+    for name, r, o in zip(names, ref_out, ours):
+        o_nchw = np.asarray(o).transpose(0, 3, 1, 2)
+        diff = np.abs(o_nchw - r.numpy()).max()
+        assert diff <= 1e-3, f"{name}: max abs diff {diff}"
