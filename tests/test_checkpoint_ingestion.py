@@ -137,6 +137,7 @@ def test_pth_loads_fully_through_eval_load(small_ingestion, caplog):
     assert msgs and f"loaded {len(exp_params)}/{len(exp_params)}" in msgs[-1], msgs
 
 
+@pytest.mark.slow
 def test_pth_forward_parity_through_eval_load(small_ingestion):
     """The params coming out of Eval._load reproduce the torch forward
     (<=1e-3, the BASELINE gate) — the released-checkpoint eval path works."""

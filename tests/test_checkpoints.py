@@ -100,6 +100,7 @@ def test_merge_checkpoint_shape_gated():
     assert float(init_p["a.weight"][0, 0]) == 0.0
 
 
+@pytest.mark.slow
 def test_sharded_save_resume_roundtrip(ts, tmp_path):
     """Multi-chip production path: a train state living on an 8-device mesh
     (params/opt replicated jax.Arrays) must save and resume, and the resumed

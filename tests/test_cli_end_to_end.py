@@ -47,6 +47,7 @@ def workspace(tmp_path_factory):
     return root, str(yaml_path)
 
 
+@pytest.mark.slow
 def test_train_then_eval(workspace):
     root, yaml_path = workspace
     args = default_parse_args(["--cfg", yaml_path, "--root_dir", str(root)])

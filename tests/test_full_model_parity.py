@@ -236,6 +236,7 @@ def test_init_keys_match_reference_otpose(parity_pair):
         assert tuple(params[k].shape) == tuple(ref_params[k].shape), k
 
 
+@pytest.mark.slow
 def test_full_forward_parity_final_kernel3():
     """FINAL_CONV_KERNEL=3 parity: exercises the non-commuted final-layer
     fallback (otpose.py: commute=False — a 3x3 final conv cannot commute

@@ -142,6 +142,7 @@ def _run_trajectory(traj_setup, optimizer_name, n_steps=6, n_iters_per_epoch=3):
                 f"step {step} {k}: {diff} vs scale {scale}"
 
 
+@pytest.mark.slow
 def test_adamw_trajectory_matches_reference(traj_setup):
     """AdamW + decoupled WD + 3 group LRs + clip + warmup->cosine, 6 steps."""
     _run_trajectory(traj_setup, "AdamW")

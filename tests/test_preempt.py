@@ -117,6 +117,7 @@ def _leaves(ts):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(ts.params)]
 
 
+@pytest.mark.slow
 def test_iteration_exact_resume(train_setup, tmp_path):
     cfg, step_fn, fresh_state, fresh_loader = train_setup
     rng = jax.random.PRNGKey(7)

@@ -51,6 +51,7 @@ def test_classify_param_modulelist_layernorm():
     assert classify_param("temporal_encoder1.embd.0.weight") == "decay"
 
 
+@pytest.mark.slow
 def test_freeze_hrnet_weights():
     """MODEL.FREEZE_HRNET_WEIGHTS: HRNet params AND BN running stats are
     bit-identical after a train step while the heads move
@@ -143,6 +144,7 @@ def test_train_step_decreases_loss(setup):
                            np.asarray(params["final_layer1.weight"]))
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_micro_loop(setup):
     """accum_steps=K must equal the hand-rolled oracle: K sequential
     micro-batch grad computations (threading BN state, per-micro rng fold),
@@ -244,6 +246,7 @@ def test_data_parallel_matches_single_device(setup):
     np.testing.assert_allclose(w1, w8, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_composes_with_data_parallel(setup):
     """accum_steps under an 8-device data mesh == accum_steps on one device
     (each micro-batch is itself data-sharded; the in-step reshape
@@ -331,6 +334,7 @@ def test_graft_entry_dryrun_flagship():
     ge.dryrun_multichip(8, flagship=True)
 
 
+@pytest.mark.slow
 def test_seq_parallel_matches_single_device(setup):
     """dp x sp: batch on 'data' AND tokens on 'seq' (the conv-transformer
     T axis, models/conv_transformer.py::_seq_shard) must reproduce the
