@@ -16,6 +16,34 @@ from otpose_tpu.models.torch2jax import convert_state_dict
 
 from tests.helpers.reference import make_hrnet_cfg
 
+OUTPUT_NAMES = ["output_heatmaps", "rough_heatmaps", "intersection", "prev_b",
+                "context_encoding", "squeezed", "total_b"]
+
+
+def _tiny_parity_cfg(final_kernel: int = 1):
+    """The shared tiny-geometry parity cfg (16x16 heatmaps, T=256)."""
+    cfg = make_hrnet_cfg(num_joints=17, width=(8, 16, 32, 64),
+                         stage_modules=(1, 1, 1), final_kernel=final_kernel)
+    cfg.MODEL.HEATMAP_SIZE = [16, 16]       # (w, h) -> T = 256
+    cfg.MODEL.FREEZE_HRNET_WEIGHTS = False
+    cfg.MODEL.DEFORMABLE_CONV = {"DILATION": [3, 6],
+                                 "AGGREGATION_TYPE": "weighted_sum"}
+    cfg.MODEL.DEFORMABLE_CONV_CH = 16
+    cfg.MODEL.OFFSET_MASK_COMBINE_CONV = 1
+    cfg.LOSS = {"NAME": "ST_OHKW_MSELoss", "USE_TARGET_WEIGHT": True}
+    return cfg
+
+
+def _assert_outputs_match(ref_out, ours, tol: float = 1e-3) -> None:
+    """All 7 reference outputs vs ours (NHWC) — shape-checked, <=tol."""
+    assert len(ref_out) == len(ours) == len(OUTPUT_NAMES)
+    for name, r, o in zip(OUTPUT_NAMES, ref_out, ours):
+        o_nchw = np.asarray(o).transpose(0, 3, 1, 2)
+        r_np = r.numpy()
+        assert o_nchw.shape == r_np.shape, name
+        diff = np.abs(o_nchw - r_np).max()
+        assert diff <= tol, f"{name}: max abs diff {diff}"
+
 
 @pytest.fixture(scope="module")
 def parity_pair():
@@ -24,15 +52,7 @@ def parity_pair():
         pytest.skip("reference repo not available")
     from tests.helpers.torch_otpose import build_reference_otpose
 
-    cfg = make_hrnet_cfg(num_joints=17, width=(8, 16, 32, 64),
-                         stage_modules=(1, 1, 1))
-    cfg.MODEL.HEATMAP_SIZE = [16, 16]       # (w, h) -> T = 256
-    cfg.MODEL.FREEZE_HRNET_WEIGHTS = False
-    cfg.MODEL.DEFORMABLE_CONV = {"DILATION": [3, 6],
-                                 "AGGREGATION_TYPE": "weighted_sum"}
-    cfg.MODEL.DEFORMABLE_CONV_CH = 16
-    cfg.MODEL.OFFSET_MASK_COMBINE_CONV = 1
-    cfg.LOSS = {"NAME": "ST_OHKW_MSELoss", "USE_TARGET_WEIGHT": True}
+    cfg = _tiny_parity_cfg()
 
     torch.manual_seed(0)
     ref = build_reference_otpose(cfg)
@@ -54,20 +74,12 @@ def test_full_forward_parity(parity_pair):
 
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(x), margin=torch.from_numpy(margin))
-    names = ["output_heatmaps", "rough_heatmaps", "intersection", "prev_b",
-             "context_encoding", "squeezed", "total_b"]
 
     ctx = Ctx({k: jnp.asarray(v) for k, v in params.items()},
               {k: jnp.asarray(v) for k, v in state.items()}, train=False)
     ours = otpose_forward(ctx, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                           jnp.asarray(margin), spec)
-
-    for name, r, o in zip(names, ref_out, ours):
-        o_nchw = np.asarray(o).transpose(0, 3, 1, 2)
-        r_np = r.numpy()
-        assert o_nchw.shape == r_np.shape, name
-        diff = np.abs(o_nchw - r_np).max()
-        assert diff <= 1e-3, f"{name}: max abs diff {diff}"
+    _assert_outputs_match(ref_out, ours)
 
 
 @pytest.mark.slow
@@ -106,20 +118,12 @@ def test_full_forward_parity_flagship_shape():
 
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(x), margin=torch.from_numpy(margin))
-    names = ["output_heatmaps", "rough_heatmaps", "intersection", "prev_b",
-             "context_encoding", "squeezed", "total_b"]
 
     ctx = Ctx({k: jnp.asarray(v) for k, v in params.items()},
               {k: jnp.asarray(v) for k, v in state.items()}, train=False)
     ours = otpose_forward(ctx, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                           jnp.asarray(margin), spec)
-
-    for name, r, o in zip(names, ref_out, ours):
-        o_nchw = np.asarray(o).transpose(0, 3, 1, 2)
-        r_np = r.numpy()
-        assert o_nchw.shape == r_np.shape, name
-        diff = np.abs(o_nchw - r_np).max()
-        assert diff <= 1e-3, f"{name}: max abs diff {diff}"
+    _assert_outputs_match(ref_out, ours)
 
 
 @pytest.mark.slow
@@ -248,15 +252,7 @@ def test_full_forward_parity_final_kernel3():
         pytest.skip("reference repo not available")
     from tests.helpers.torch_otpose import build_reference_otpose
 
-    cfg = make_hrnet_cfg(num_joints=17, width=(8, 16, 32, 64),
-                         stage_modules=(1, 1, 1), final_kernel=3)
-    cfg.MODEL.HEATMAP_SIZE = [16, 16]
-    cfg.MODEL.FREEZE_HRNET_WEIGHTS = False
-    cfg.MODEL.DEFORMABLE_CONV = {"DILATION": [3, 6],
-                                 "AGGREGATION_TYPE": "weighted_sum"}
-    cfg.MODEL.DEFORMABLE_CONV_CH = 16
-    cfg.MODEL.OFFSET_MASK_COMBINE_CONV = 1
-    cfg.LOSS = {"NAME": "ST_OHKW_MSELoss", "USE_TARGET_WEIGHT": True}
+    cfg = _tiny_parity_cfg(final_kernel=3)
 
     torch.manual_seed(0)
     ref = build_reference_otpose(cfg)
@@ -275,9 +271,4 @@ def test_full_forward_parity_final_kernel3():
               {k: jnp.asarray(v) for k, v in state.items()}, train=False)
     ours = otpose_forward(ctx, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                           jnp.asarray(margin), spec)
-    names = ["output_heatmaps", "rough_heatmaps", "intersection", "prev_b",
-             "context_encoding", "squeezed", "total_b"]
-    for name, r, o in zip(names, ref_out, ours):
-        o_nchw = np.asarray(o).transpose(0, 3, 1, 2)
-        diff = np.abs(o_nchw - r.numpy()).max()
-        assert diff <= 1e-3, f"{name}: max abs diff {diff}"
+    _assert_outputs_match(ref_out, ours)

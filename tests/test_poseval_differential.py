@@ -148,4 +148,3 @@ def test_assignment_scores_labels_match_reference(ref_eval):
                 np.asarray(l_ours[j][img], np.int8).ravel(),
                 np.asarray(l_ref[j][img], np.int8).ravel(),
                 err_msg=f"labels joint {j} img {img}")
-

@@ -285,15 +285,11 @@ def test_yolo_forward_matches_reference_darknet(tmp_path):
     (B, N, 85) outputs must match — pinning routes, shortcuts, BN-eval conv
     stacks, and all three anchor-decode heads (order: stride 32, 16, 8)."""
     torch = pytest.importorskip("torch")
-    if not osp.isdir("/root/reference"):
-        pytest.skip("reference repo not available")
-    import importlib
-
     import jax.numpy as jnp
 
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
-    models = importlib.import_module("object_detector.YOLOv3.models")
+    from tests.helpers.reference import import_reference_module
+
+    models = import_reference_module("object_detector.YOLOv3.models")
     ref = models.Darknet("/root/reference/object_detector/YOLOv3/config/yolov3.cfg")
 
     g = np.random.RandomState(0)
@@ -334,7 +330,6 @@ def test_yolo_forward_matches_reference_darknet(tmp_path):
     ref.header_info = np.zeros(5, dtype=np.int32)  # loader reads 5x int32
     ref.save_weights(wpath)
 
-    img = 64
     for m in ref.modules():
         if isinstance(m, models.YOLOLayer):
             m.image_dim = img  # cfg bakes 416; evaluate both sides at 64
