@@ -158,14 +158,20 @@ class Train(RunBase):
                             epoch, done_it, len(self.loader))
                 return self.train_state
             if epoch % cfg.TRAIN.SAVE_MODEL_PER_EPOCH == 0:
+                # async: serialization overlaps the validation pass below
+                # (single-process only — multihost saves are a collective)
                 ckpt.save_checkpoint(self.checkpoints_save_folder, epoch,
                                      self.train_state,
-                                     tensorboard_global_steps=tb_steps)
+                                     tensorboard_global_steps=tb_steps,
+                                     async_save=bool(
+                                         cfg.TPU.ASYNC_CHECKPOINT
+                                         and jax.process_count() == 1))
             mean_ap = self._validate(tb_steps)
             if mean_ap is not None and mean_ap > best_map:
                 best_map = mean_ap
                 ckpt.save_best_checkpoint(self.checkpoints_save_folder,
                                           self.train_state, float(mean_ap))
+        ckpt.wait_for_saves()
         return self.train_state
 
     def _validate(self, tb_steps: int):

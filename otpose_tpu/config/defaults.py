@@ -247,6 +247,10 @@ _C.TPU.MAX_FRAME_HW = [1088, 1920]   # raw-frame staging buffer (covers PoseTrac
 # OTPOSE_NUM_PROCESSES / OTPOSE_PROCESS_ID env vars instead
 # (parallel/distributed.py)
 _C.TPU.MULTIHOST = False
+# overlap per-epoch checkpoint serialization with the validation pass that
+# follows it (orbax async commit; single-process only — multihost saves
+# need every process at the same barrier, engine/checkpoints.py)
+_C.TPU.ASYNC_CHECKPOINT = True
 
 
 def get_cfg() -> CfgNode:

@@ -19,18 +19,45 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# One persistent checkpointer per process: orbax's StandardCheckpointer IS
+# an AsyncCheckpointer (device->host fetch happens synchronously inside
+# save(); serialization commits in a background thread, atomically via
+# tmp-dir + rename).  A persistent instance lets async saves outlive the
+# call; save() itself blocks until any PREVIOUS async save has committed,
+# so back-to-back saves never race.
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
 def _checkpointer():
-    return ocp.StandardCheckpointer()
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every pending async checkpoint save has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def save_checkpoint(folder: str, epoch: int, train_state, *,
-                    tensorboard_global_steps: int = 0, iteration: int = 0):
+                    tensorboard_global_steps: int = 0, iteration: int = 0,
+                    async_save: bool = False):
     """-> ``{folder}/epoch_{N}_state`` (ref: model/checkpoints.py:28-44).
 
     ``iteration > 0`` marks a mid-epoch (preemption) checkpoint: resume
     restarts the SAME epoch and skips its first ``iteration`` batches
     (engine/preempt.py); ``iteration == 0`` keeps the reference semantics
-    (epoch complete, resume at epoch+1)."""
+    (epoch complete, resume at epoch+1).
+
+    ``async_save=True`` returns as soon as the params are fetched to host;
+    serialization overlaps the caller's next work (cli/train.py overlaps
+    the validation pass).  The commit is atomic — a crash mid-write leaves
+    no ``epoch_{N}_state`` dir, so ``resume`` falls back to the previous
+    epoch.  Call ``wait_for_saves()`` before reading the path back or
+    exiting.  Single-process only: multihost saves are a collective (every
+    process must reach the same save), so callers keep those synchronous."""
     os.makedirs(folder, exist_ok=True)
     path = osp.abspath(osp.join(folder, f"epoch_{epoch}_state"))
     payload = {
@@ -46,7 +73,8 @@ def save_checkpoint(folder: str, epoch: int, train_state, *,
     }
     ckptr = _checkpointer()
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if not async_save:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -135,6 +163,7 @@ def restore_checkpoint(path: str, template=None):
         out["state"] = {k: np.asarray(v) for k, v in out["state"].items()}
         out["model_state"] = out.pop("state")
         return out
+    wait_for_saves()  # the dir may still be committing from an async save
     ckptr = _checkpointer()
     path = osp.abspath(path)
     if template is not None:

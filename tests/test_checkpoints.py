@@ -131,3 +131,28 @@ def test_sharded_save_resume_roundtrip(ts, tmp_path):
     assert len(opt_leaves) == len(ref_leaves)
     np.testing.assert_array_equal(np.asarray(opt_leaves[0]),
                                   np.asarray(ref_leaves[0]))
+
+
+def test_async_save_round_trip(ts, tmp_path):
+    """async_save returns before commit is guaranteed; wait_for_saves() makes
+    it durable and the restored payload matches a synchronous save's."""
+    folder = str(tmp_path / "ck_async")
+    path = ckpt.save_checkpoint(folder, 1, ts, tensorboard_global_steps=7,
+                                async_save=True)
+    # a second (sync) save while the first may still be committing must not
+    # race: orbax serializes saves on the persistent checkpointer
+    ckpt.save_checkpoint(folder, 2, ts, tensorboard_global_steps=8)
+    ckpt.wait_for_saves()
+    assert os.path.isdir(path)
+    assert ckpt.get_latest_checkpoint(folder).endswith("epoch_2_state")
+    ts2, begin_epoch, tb, start_it = ckpt.resume(folder, ts)
+    assert (begin_epoch, tb, start_it) == (3, 8, 0)
+    np.testing.assert_array_equal(
+        np.asarray(ts2.params["final_layer1.weight"]),
+        np.asarray(ts.params["final_layer1.weight"]))
+    # and the async epoch itself restores intact (restore waits for commits)
+    blob = ckpt.restore_checkpoint(path)
+    assert int(blob["meta"]["begin_epoch"]) == 2
+    np.testing.assert_array_equal(
+        np.asarray(blob["params"]["final_layer1.weight"]),
+        np.asarray(ts.params["final_layer1.weight"]))
