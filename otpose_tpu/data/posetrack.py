@@ -99,6 +99,9 @@ class PoseTrackDataset:
     # ------------------------------------------------------------------ index
 
     def _list_data(self) -> List[dict]:
+        # validate ALWAYS uses GT boxes — detection boxes are a test-phase
+        # -only path in the reference too (ref: PoseTrackDataset.py:93-99;
+        # VAL.USE_GT_BBOX=False alone deliberately changes nothing)
         if self.phase != "test" or self.use_gt_bbox:
             return self._load_gt_boxes()
         return self._load_detection_boxes()

@@ -110,8 +110,16 @@ def _parse_epoch(name: str) -> Optional[int]:
 
 
 def _parse_best(name: str) -> Optional[float]:
-    m = re.fullmatch(r"best_mAP_([\d.]+?)_state", name)
-    return float(m.group(1)) if m else None
+    m = re.fullmatch(r"best_mAP_(.+?)_state", name)
+    if m is None:
+        return None
+    try:
+        # float() rather than a decimal regex: a tiny early-training mAP
+        # reprs in scientific notation ("best_mAP_3.2e-05_state"), and a
+        # best dir that stops parsing is never compared against or deleted
+        return float(m.group(1))
+    except ValueError:
+        return None
 
 
 def get_latest_checkpoint(folder: str) -> Optional[str]:
@@ -216,10 +224,16 @@ def resume(folder: str, train_state):
     }
     try:
         blob = restore_checkpoint(latest, template)
-    except Exception:
-        # pre-iteration-format checkpoint: retry with the legacy meta layout
+    except Exception as first_err:
+        # pre-iteration-format checkpoint: retry with the legacy meta layout.
+        # If the retry fails too the checkpoint is genuinely broken (shape
+        # mismatch, corrupt dir) — surface the ORIGINAL error, not the
+        # misleading legacy-template one.
         template["meta"].pop("iteration")
-        blob = restore_checkpoint(latest, template)
+        try:
+            blob = restore_checkpoint(latest, template)
+        except Exception:
+            raise first_err
         blob["meta"]["iteration"] = 0
     import dataclasses
 

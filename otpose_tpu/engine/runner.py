@@ -82,6 +82,33 @@ def make_flip_eval_step(spec, *, compute_dtype=jnp.float32,
     return jax.jit(step) if jit else step
 
 
+def _pipelined_forward(loader, run_fn, fetch_fn, shard_fn):
+    """One-deep pipeline over an eval loader: enqueue batch i+1's forward
+    before fetching batch i's results, overlapping device compute with the
+    host-side decode/accumulate work (and hiding the fetch RTT).
+
+    ``run_fn(fwd)`` launches the device step; ``fetch_fn(outs)`` brings its
+    results to host.  With a ``shard_fn`` the HOST batch goes straight to it
+    (direct sharded/replicated placement — no staging hop through device 0,
+    and the multihost branch slices numpy instead of reading a device array
+    back); without one, ``jnp.asarray`` starts the async H2D transfer."""
+    pending = None
+    for batch, metas in loader:
+        fwd = {k: batch[k] for k in ("inputs", "margin")}
+        if shard_fn is not None:
+            fwd = shard_fn(fwd)
+        else:
+            fwd = {k: jnp.asarray(v) for k, v in fwd.items()}
+        outs = run_fn(fwd)
+        if pending is not None:
+            p_outs, p_batch, p_metas = pending
+            yield fetch_fn(p_outs), p_batch, p_metas
+        pending = (outs, batch, metas)
+    if pending is not None:
+        p_outs, p_batch, p_metas = pending
+        yield fetch_fn(p_outs), p_batch, p_metas
+
+
 def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
                 rng: jax.Array, tb_writer=None, global_steps: int = 0,
                 shard_fn=None, start_iteration: int = 0,
@@ -132,12 +159,16 @@ def train_epoch(step_fn, train_state, loader, epoch: int, cfg, *,
                     _tb_image_grids(tb_writer, batch, global_steps)
             acc_meter.update(host_metrics.get("pck_acc", 0.0))
             bsz = batch["inputs"].shape[0]
+            loss_meter = losses["final_loss"]
+            # Loss val (avg) like the reference's line (ref: Common.py:212-218);
+            # the avg is over PRINT_FREQ samples — fetching metrics every
+            # iteration would force a device sync and break async dispatch
             logger.info(
                 "Epoch: [%03d][%05d/%05d]\tTime %.3fs (%.3fs)\t"
-                "Speed %.1f samples/s\tData %.3fs\tLoss %.5f\tAcc %.3f",
+                "Speed %.1f samples/s\tData %.3fs\tLoss %.5f (%.5f)\tAcc %.3f",
                 epoch, it, max_iter, batch_time.val, batch_time.avg,
                 bsz / max(batch_time.val, 1e-9), data_time.val,
-                host_metrics.get("final_loss", float("nan")), acc_meter.avg)
+                loss_meter.val, loss_meter.avg, acc_meter.avg)
         if should_stop is not None and should_stop():
             logger.info("train_epoch: stop requested at epoch %d iteration %d",
                         epoch, completed)
@@ -167,25 +198,10 @@ def evaluate_epoch(eval_fn, params, model_state, loader, dataset, cfg,
 
     from otpose_tpu.parallel.distributed import broadcast_scalar, fetch, is_primary
 
-    def _iter_pipelined():
-        """One-deep pipeline: enqueue batch i+1's forward before fetching
-        batch i's results, overlapping device compute with the host-side
-        decode/accumulate work (and hiding the fetch RTT)."""
-        pending = None
-        for batch, metas in loader:
-            fwd = {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")}
-            if shard_fn is not None:
-                fwd = shard_fn(fwd)
-            heat = eval_fn(params, model_state, fwd)[0]
-            if pending is not None:
-                p_heat, p_batch, p_metas = pending
-                yield fetch(p_heat), p_batch, p_metas
-            pending = (heat, batch, metas)
-        if pending is not None:
-            p_heat, p_batch, p_metas = pending
-            yield fetch(p_heat), p_batch, p_metas
-
-    for it, (preds_np, batch, metas) in enumerate(_iter_pipelined()):
+    pipeline = _pipelined_forward(
+        loader, lambda fwd: eval_fn(params, model_state, fwd)[0], fetch,
+        shard_fn)
+    for it, (preds_np, batch, metas) in enumerate(pipeline):
         target_np = np.asarray(batch["target"])
 
         # PCK meter on NCHW layout
@@ -326,23 +342,11 @@ def evaluate_epoch_decoded(decoded_fn, params, model_state, loader, dataset,
     # per-box keypoints so every host sees every row (parallel/distributed.py)
     from otpose_tpu.parallel.distributed import broadcast_scalar, fetch, is_primary
 
-    def _iter_pipelined():
-        pending = None
-        for batch, metas in loader:
-            fwd = {k: jnp.asarray(batch[k]) for k in ("inputs", "margin")}
-            if shard_fn is not None:
-                fwd = shard_fn(fwd)
-            outs = decoded_fn(params, model_state, fwd)
-            if pending is not None:
-                p_outs, p_batch, p_metas = pending
-                yield tuple(fetch(o) for o in p_outs), p_batch, p_metas
-            pending = (outs, batch, metas)
-        if pending is not None:
-            p_outs, p_batch, p_metas = pending
-            yield tuple(fetch(o) for o in p_outs), p_batch, p_metas
-
+    pipeline = _pipelined_forward(
+        loader, lambda fwd: decoded_fn(params, model_state, fwd),
+        lambda outs: tuple(fetch(o) for o in outs), shard_fn)
     for it, ((coords, maxvals, raw_coords), batch, metas) in \
-            enumerate(_iter_pipelined()):
+            enumerate(pipeline):
         # PCK meter: device pred argmax vs host target argmax
         # (ref: utils/evaluate.py:384-415)
         target_np = np.asarray(batch["target"]).transpose(0, 3, 1, 2)

@@ -17,6 +17,7 @@ from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from otpose_tpu.models.core import Ctx
 from otpose_tpu.models.losses import st_ohkw_mse_loss
@@ -155,7 +156,7 @@ def make_train_step(spec: OTPoseSpec, optimizer, *, compute_dtype=jnp.float32,
             new_model_state = state
         updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, ts.params, updates)
-        metrics["grad_norm"] = optax_global_norm(grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(new_params, new_model_state, new_opt_state,
                           ts.step + 1), metrics
 
@@ -262,10 +263,6 @@ def make_decoded_eval_step(spec: OTPoseSpec, *, compute_dtype=jnp.float32,
         return dispatch
     return jax.jit(build_step(fused))
 
-
-def optax_global_norm(tree) -> jnp.ndarray:
-    leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
 def init_train_state(params, model_state, optimizer) -> TrainState:

@@ -68,6 +68,13 @@ def maybe_initialize(cfg=None, env=os.environ) -> tuple[int, int]:
             _INITIALIZED = True
             logger.info("=> jax.distributed: process %d/%d (auto-detected)",
                         jax.process_index(), jax.process_count())
+        elif cfg is None:
+            # Decision deferred: the CLIs call once pre-config-parse and again
+            # with the parsed cfg.  Touching jax.process_index() here would
+            # initialize the XLA backend, and jax.distributed.initialize()
+            # hard-raises after any backend init — so the cfg.TPU.MULTIHOST
+            # launch path would crash on the second call.  Stay truly no-op.
+            return 0, 1
     return jax.process_index(), jax.process_count()
 
 

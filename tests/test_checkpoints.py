@@ -156,3 +156,18 @@ def test_async_save_round_trip(ts, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(blob["params"]["final_layer1.weight"]),
         np.asarray(ts.params["final_layer1.weight"]))
+
+
+def test_parse_best_scientific_notation(tmp_path, ts):
+    """A tiny early-training mAP reprs in scientific notation; the best-dir
+    name must still parse so later epochs compare against and delete it."""
+    from otpose_tpu.engine.checkpoints import _parse_best
+    assert _parse_best("best_mAP_3.2e-05_state") == pytest.approx(3.2e-05)
+    assert _parse_best("best_mAP_61.5_state") == pytest.approx(61.5)
+    assert _parse_best("epoch_3_state") is None
+    assert _parse_best("best_mAP_notafloat_state") is None
+    folder = str(tmp_path / "ck_sci")
+    assert ckpt.save_best_checkpoint(folder, ts, 3.2e-05)
+    assert ckpt.save_best_checkpoint(folder, ts, 50.0)
+    names = [n for n in os.listdir(folder) if n.startswith("best")]
+    assert names == ["best_mAP_50.0_state"]

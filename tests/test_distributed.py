@@ -209,3 +209,30 @@ def test_two_process_training_matches_single(tmp_path):
             continue  # asserted above at their own tolerances
         np.testing.assert_allclose(ref_blob[k], mh_blob[k], atol=1e-4,
                                    err_msg=k)
+
+
+def test_maybe_initialize_is_noop_before_config():
+    """The CLIs call maybe_initialize() BEFORE the cfg is parsed and again
+    with the parsed cfg.  The first call must not touch the XLA backend:
+    jax.distributed.initialize() hard-raises after any backend init, so a
+    backend-initializing "no-op" would crash every cfg.TPU.MULTIHOST pod
+    launch on the second call.  Run in a subprocess to control backend
+    state."""
+    code = """
+import os
+for k in ("OTPOSE_COORDINATOR", "OTPOSE_MULTIHOST"):
+    os.environ.pop(k, None)
+from otpose_tpu.parallel import distributed
+pid, count = distributed.maybe_initialize()
+assert (pid, count) == (0, 1), (pid, count)
+from jax._src import xla_bridge
+assert not xla_bridge.backends_are_initialized(), \\
+    "maybe_initialize() without cfg/env initialized the XLA backend"
+print("NOOP OK")
+"""
+    env = dict(os.environ)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=120,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr
+    assert "NOOP OK" in out.stdout
