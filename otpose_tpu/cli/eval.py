@@ -70,7 +70,8 @@ class Eval(RunBase):
     def list_model_files(self):
         """ref: eval.py:64-83."""
         if self.model_file:
-            return [self.model_file]
+            return [ckpt.resolve_model_file(self.model_file, self.cfg,
+                                            self.checkpoints_save_folder)]
         val_from = int(getattr(self.args, "val_from_checkpoint", -1))
         folder = self.checkpoints_save_folder
         if val_from >= 0:
@@ -118,6 +119,12 @@ class Eval(RunBase):
         params, model_state, n = ckpt.merge_checkpoint(blob, init_params,
                                                        init_state)
         logger.info("=> loaded %d/%d tensors", n, len(params))
+        if n == 0:
+            # the reference's load_state_dict is strict; evaluating a
+            # random-init model would silently report garbage mAP
+            raise ValueError(
+                f"checkpoint {model_file} matched 0 of {len(params)} tensors "
+                f"(wrong architecture/width for this config?)")
         # eval fast path (once per checkpoint, outside the step): optional
         # bf16 conv/dense weights — halves param HBM reads; norm statistics
         # still run in f32 inside the kernels (models/otpose.py)

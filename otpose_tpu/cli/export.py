@@ -41,7 +41,8 @@ class Export(RunBase):
 
     def model_path(self) -> str:
         if self.model_file:
-            return self.model_file
+            return ckpt.resolve_model_file(self.model_file, self.cfg,
+                                           self.checkpoints_save_folder)
         latest = ckpt.get_latest_checkpoint(self.checkpoints_save_folder)
         if latest is None:
             latest = ckpt.get_best_checkpoint(self.checkpoints_save_folder)

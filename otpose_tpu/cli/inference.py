@@ -44,7 +44,8 @@ class PoseEstimator:
         self._forward = _forward
 
     def preprocess(self, images: Sequence[np.ndarray], bbox) -> tuple:
-        """5 RGB frames + xywh bbox -> (1, H, W, 15) tensor + center/scale
+        """5 frames (in the checkpoint's training channel order, see
+        DATASET.COLOR_RGB) + xywh bbox -> (1, H, W, 15) tensor + center/scale
         (ref: utils/inference.py:58-82, warp on device)."""
         center, scale = box2cs(bbox, self.aspect_ratio)
         trans = get_affine_transform(center, scale, 0, self.image_size)
@@ -69,7 +70,14 @@ class PoseEstimator:
             im = cv2.imread(p)
             if im is None:
                 raise ValueError(f"Fail to read {p}")
-            images.append(cv2.cvtColor(im, cv2.COLOR_BGR2RGB))
+            # channel order must match what the checkpoint was TRAINED on:
+            # the data pipeline gates the identical conversion on
+            # DATASET.COLOR_RGB (data/posetrack.py), and its default is
+            # False (BGR crops) — an unconditional swap here would silently
+            # degrade keypoints for BGR-trained checkpoints
+            if self.cfg.DATASET.COLOR_RGB:
+                im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+            images.append(im)
         return self.infer_images(images, bbox, margin)
 
     def infer_images(self, images: Sequence[np.ndarray], bbox,

@@ -274,8 +274,13 @@ def yolo_forward(weights_flat, x: jnp.ndarray, img_size: int = 416,
 
 
 def preprocess_image(img: np.ndarray, img_size: int = 416):
-    """Pad to square (value 128) + resize (ref: detector_utils.py:12-39).
-    Returns (tensor (S, S, 3) in [0,1], pad info for rescaling)."""
+    """Pad to square + resize (ref: detector_utils.py:11-38).
+    Returns (tensor (S, S, 3) in [0,1], pad info for rescaling).
+
+    Faithful details: pad value 127.5 (truncates to 127 on the uint8 frames
+    the reference feeds) and INTER_AREA resize — the reference's typical
+    1080p->416 downscale averages pixels, and INTER_LINEAR instead would
+    shift borderline detections across the confidence threshold."""
     import cv2
 
     h, w = img.shape[:2]
@@ -285,9 +290,10 @@ def preprocess_image(img: np.ndarray, img_size: int = 416):
         pad = ((pad1, pad2), (0, 0), (0, 0))
     else:
         pad = ((0, 0), (pad1, pad2), (0, 0))
-    padded = np.pad(img, pad, constant_values=128)
+    padded = np.pad(img, pad, constant_values=127.5)
     side = padded.shape[0]
-    resized = cv2.resize(padded, (img_size, img_size))
+    resized = cv2.resize(padded, (img_size, img_size),
+                         interpolation=cv2.INTER_AREA)
     return resized.astype(np.float32) / 255.0, (pad, side)
 
 
@@ -296,41 +302,50 @@ def _xywh_to_xyxy(b):
                      b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], axis=1)
 
 
+def _iou_plus1(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """IoU of one xyxy box vs many, in the reference's +1-pixel convention
+    (ref: detector_utils.py:190-220 bbox_iou — widths count inclusive
+    endpoints: ``x2 - x1 + 1``)."""
+    xx1 = np.maximum(box[0], boxes[:, 0])
+    yy1 = np.maximum(box[1], boxes[:, 1])
+    xx2 = np.minimum(box[2], boxes[:, 2])
+    yy2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(xx2 - xx1 + 1, 0, None) * np.clip(yy2 - yy1 + 1, 0, None)
+    a1 = (box[2] - box[0] + 1) * (box[3] - box[1] + 1)
+    a2 = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    return inter / (a1 + a2 - inter + 1e-16)
+
+
 def non_max_suppression(dets: np.ndarray, conf_thres: float = 0.8,
                         nms_thres: float = 0.4) -> np.ndarray:
-    """Per-class greedy NMS on (N, 85) decoded detections
-    (ref: detector_utils.py:253-313).  Returns (M, 7)
-    [x1, y1, x2, y2, obj, cls_score, cls_idx]."""
-    mask = dets[:, 4] >= conf_thres
-    dets = dets[mask]
+    """Greedy NMS with confidence-weighted box merging on (N, 85) decoded
+    detections (ref: detector_utils.py:253-292).  Returns (M, 7)
+    [x1, y1, x2, y2, obj, cls_score, cls_idx].
+
+    Faithful reference semantics: each kept detection's COORDS are the
+    obj-confidence-weighted average over the whole suppressed cluster
+    (itself included), not the raw top box; suppression uses the +1-pixel
+    IoU and matching class labels; candidate order is obj * cls_score
+    descending."""
+    dets = dets[dets[:, 4] >= conf_thres]
     if len(dets) == 0:
         return np.zeros((0, 7))
     cls_score = dets[:, 5:].max(axis=1)
-    cls_idx = dets[:, 5:].argmax(axis=1)
-    boxes = _xywh_to_xyxy(dets[:, :4])
+    cls_idx = dets[:, 5:].argmax(axis=1).astype(np.float64)
+    order = np.argsort(-(dets[:, 4] * cls_score))
+    boxes = _xywh_to_xyxy(dets[:, :4])[order]
+    obj = dets[order, 4]
+    scores = cls_score[order]
+    labels = cls_idx[order]
     out = []
-    for c in np.unique(cls_idx):
-        sel = cls_idx == c
-        b, s = boxes[sel], dets[sel, 4] * cls_score[sel]
-        order = np.argsort(-s)
-        keep = np.ones(len(order), dtype=bool)
-        for i in range(len(order)):
-            if not keep[i]:
-                continue
-            bi = b[order[i]]
-            rest = order[i + 1:]
-            xx1 = np.maximum(bi[0], b[rest, 0])
-            yy1 = np.maximum(bi[1], b[rest, 1])
-            xx2 = np.minimum(bi[2], b[rest, 2])
-            yy2 = np.minimum(bi[3], b[rest, 3])
-            inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
-            a1 = (bi[2] - bi[0]) * (bi[3] - bi[1])
-            a2 = (b[rest, 2] - b[rest, 0]) * (b[rest, 3] - b[rest, 1])
-            iou = inter / (a1 + a2 - inter + 1e-16)
-            keep[i + 1:] &= iou <= nms_thres
-        kept = order[keep]
-        for j in kept:
-            out.append([*b[j], dets[sel][j, 4], cls_score[sel][j], c])
+    while len(boxes):
+        invalid = (_iou_plus1(boxes[0], boxes) > nms_thres) & \
+            (labels == labels[0])
+        w = obj[invalid][:, None]
+        merged = (w * boxes[invalid]).sum(axis=0) / w.sum()
+        out.append([*merged, obj[0], scores[0], labels[0]])
+        boxes, obj, scores, labels = (boxes[~invalid], obj[~invalid],
+                                      scores[~invalid], labels[~invalid])
     return np.asarray(out).reshape(-1, 7)
 
 

@@ -104,6 +104,17 @@ def save_best_checkpoint(folder: str, train_state, mAP: float):
     return path
 
 
+def resolve_model_file(path: str, cfg, checkpoints_folder: str) -> str:
+    """Root a configured VAL/TEST ``MODEL_FILE`` the reference way
+    (ref: eval.py:66-72): ``'.'``-prefixed paths resolve against the
+    experiment's checkpoints folder, anything else joins ``cfg.ROOT_DIR``
+    (absolute paths pass through ``osp.join`` unchanged).  Without this a
+    reference-style relative MODEL_FILE would be read from the cwd."""
+    if path.startswith("."):
+        return osp.abspath(osp.join(checkpoints_folder, path))
+    return osp.join(cfg.ROOT_DIR, path)
+
+
 def _parse_epoch(name: str) -> Optional[int]:
     m = re.fullmatch(r"epoch_(\d+)_state", name)
     return int(m.group(1)) if m else None

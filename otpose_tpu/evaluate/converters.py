@@ -129,7 +129,10 @@ def _person_old_to_new(rect: dict) -> dict:
             scores_present = True
         if "is_visible" in p:
             lm["is_visible"] = p["is_visible"][0]
-        lms[p["id"][0]] = lm
+        # keep-FIRST on duplicate point ids: the reference indexes
+        # ``[lm for lm in landmarks if lm.id == id][0]`` (ref:
+        # utils/setup.py:338), same as poseval._frame_arrays
+        lms.setdefault(p["id"][0], lm)
 
     keypoints, scores = [], []
     for name in PT18_LM_NAMES_COCO_ORDER:

@@ -84,6 +84,11 @@ def _frame_arrays(rects, want_scores: bool):
                 else:
                     if not warned[0]:
                         warned[0] = True
+                        # ref: evaluate.py:548-550 prints this per miss; once
+                        # per frame is enough diagnostics for a malformed json
+                        logger.warning(
+                            "prediction score is missing; substituting %s",
+                            MIN_SCORE)
                     scores[ridx, i] = MIN_SCORE
     return xy, has, scores, tracks
 

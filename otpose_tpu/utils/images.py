@@ -117,12 +117,12 @@ def draw_skeleton_in_origin_image(image_paths: Sequence[str],
 
 def heatmaps_overlay(image: np.ndarray, heatmaps: np.ndarray) -> np.ndarray:
     """Sum-of-heatmaps jet overlay for debugging dumps
-    (ref: utils/evaluate.py:244-338)."""
+    (ref: utils/evaluate.py:244-338).  ``heatmaps`` is CHW ``(J, h, w)`` —
+    explicitly, not guessed: a layout heuristic mis-fires whenever the
+    spatial size drops below the joint count (tiny debug models)."""
     import cv2
 
     hm = np.asarray(heatmaps)
-    if hm.ndim == 3 and hm.shape[-1] < hm.shape[0]:
-        hm = hm.transpose(2, 0, 1) if hm.shape[-1] <= 32 else hm
     summed = np.clip(hm.sum(axis=0), 0, 1)
     summed = cv2.resize((summed * 255).astype(np.uint8),
                         (image.shape[1], image.shape[0]))
@@ -132,7 +132,8 @@ def heatmaps_overlay(image: np.ndarray, heatmaps: np.ndarray) -> np.ndarray:
 
 def save_result_images(out_dir: str, img, pose, conf, heatmaps=None,
                        name: str = "") -> str:
-    """Dump skeleton + heatmap overlays (ref: utils/evaluate.py:244-338)."""
+    """Dump skeleton + heatmap overlays (ref: utils/evaluate.py:244-338).
+    ``heatmaps``, when given, is CHW ``(J, h, w)``."""
     import cv2
 
     os.makedirs(out_dir, exist_ok=True)
@@ -189,8 +190,8 @@ def image2video(image_dir: str, name: str, fps: int = 25,
     return images2video(paths, osp.join(out_dir, f"{name}.mp4"), fps)
 
 
-def save_fusion_images(out_dir: str, img: np.ndarray, name: str = "",
-                       heatmaps: Optional[np.ndarray] = None) -> list:
+def save_fusion_images(out_dir: str, img: np.ndarray, name: str = "", *,
+                       heatmaps: np.ndarray) -> list:
     """Per-joint heatmap-fusion overlays, one png per keypoint
     (ref: utils/evaluate.py:244-256: min-max normalized image, BONE colormap,
     0.3*img + 0.7*heatmap blend, files ``{name}{joint}_img_heatmap.png``)."""

@@ -172,3 +172,23 @@ def test_video2filenames(synth):
 def test_pt15_mapping_is_permutation():
     assert sorted(set(PT15_FROM_COCO17)) == sorted(PT15_FROM_COCO17)
     assert len(PT15_FROM_COCO17) == 15
+
+
+def test_joint_name_tables_consistent():
+    """The 15-joint orderings live in three modules, each citing its own
+    reference source (setup.py converters, keypoints mapping, poseval's
+    evaluate.py which alone says 'neck' for head_bottom).  Index-based
+    conversion tables are built from them, so any drift silently scrambles
+    joints — pin the correspondence."""
+    from otpose_tpu.evaluate.converters import PT18_LM_NAMES
+    from otpose_tpu.evaluate.keypoints import (POSETRACK_COCO_17,
+                                               POSETRACK_OFFICIAL_15)
+    from otpose_tpu.evaluate.poseval import JOINT_NAMES, N_JOINTS
+    from otpose_tpu.evaluate.tracking import N_JOINTS as N_JOINTS_TRACKING
+
+    assert PT18_LM_NAMES == POSETRACK_OFFICIAL_15
+    alias = ["neck" if n == "head_bottom" else n for n in POSETRACK_OFFICIAL_15]
+    assert JOINT_NAMES == alias
+    assert N_JOINTS == N_JOINTS_TRACKING == len(JOINT_NAMES) == 15
+    assert len(POSETRACK_COCO_17) == 17
+    assert set(POSETRACK_OFFICIAL_15) <= set(POSETRACK_COCO_17) | {"head_bottom"}

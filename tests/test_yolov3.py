@@ -109,8 +109,11 @@ def test_nms_crafted():
     classes = sorted(int(c) for c in kept[:, 6])
     assert classes == [0, 16]
     person = kept[kept[:, 6] == 0][0]
-    # the higher-score person box survives: center 100 -> x1 = 80
-    assert person[0] == pytest.approx(80.0)
+    # reference semantics: the suppressed cluster merges into an
+    # obj-confidence-weighted box (ref: detector_utils.py:284-287) —
+    # x1 = (0.9*80 + 0.85*82) / 1.75
+    assert person[0] == pytest.approx((0.9 * 80 + 0.85 * 82) / 1.75)
+    assert person[4] == pytest.approx(0.9)  # conf stays the top box's
 
 
 def test_yolo_forward_shapes_random_weights():
@@ -361,3 +364,53 @@ def test_yolo_forward_matches_reference_darknet(tmp_path):
     assert prob_diff <= 1e-4, prob_diff
     # non-degenerate: probabilities must actually vary across cells
     assert np.std(out_ref[..., 4]) > 1e-3
+
+
+def test_nms_matches_reference_implementation():
+    """Differential vs the reference's own torch non_max_suppression on a
+    random decoded batch (clustered boxes, several classes): same number of
+    kept boxes and the same merged coords/conf/class per row.  The
+    reference's kept rows are [x1, y1, x2, y2, obj, cls_idx] (6 cols — its
+    docstring promises a cls_score column the cat() never adds); ours adds
+    cls_score, so the comparison maps columns accordingly."""
+    torch = pytest.importorskip("torch")
+    from tests.helpers.reference import import_reference_module
+
+    du = import_reference_module("object_detector.YOLOv3.detector_utils")
+
+    rng = np.random.RandomState(7)
+    n = 60
+    dets = np.zeros((n, 85), np.float32)
+    # clustered centers so suppression + merging actually engage
+    centers = rng.randint(40, 360, size=(6, 2))
+    which = rng.randint(0, len(centers), size=n)
+    dets[:, 0:2] = centers[which] + rng.randn(n, 2) * 6
+    dets[:, 2:4] = rng.uniform(25, 60, size=(n, 2))
+    dets[:, 4] = rng.uniform(0.3, 1.0, size=n)
+    cls = rng.randint(0, 3, size=n)
+    dets[np.arange(n), 5 + cls] = rng.uniform(0.5, 1.0, size=n)
+
+    ours = Y.non_max_suppression(dets.copy(), conf_thres=0.5, nms_thres=0.4)
+    ref_out = du.non_max_suppression(torch.from_numpy(dets.copy())[None],
+                                     conf_thres=0.5, nms_thres=0.4)[0]
+    assert ref_out is not None
+    ref_np = ref_out.numpy()
+    assert ours.shape[0] == ref_np.shape[0] > 3
+    # same candidate order on both sides -> rows line up directly
+    np.testing.assert_allclose(ours[:, :5], ref_np[:, :5], atol=1e-4)
+    np.testing.assert_array_equal(ours[:, 6].astype(int),
+                                  ref_np[:, 5].astype(int))
+
+
+def test_preprocess_matches_reference(tmp_path):
+    """Pad value (127 after uint8 truncation) + INTER_AREA resize must match
+    the reference's preprocess_img_for_yolo tensor exactly."""
+    pytest.importorskip("torch")
+    from tests.helpers.reference import import_reference_module
+
+    du = import_reference_module("object_detector.YOLOv3.detector_utils")
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (300, 480, 3), dtype=np.uint8)
+    ours, _ = Y.preprocess_image(img, img_size=416)
+    ref = du.preprocess_img_for_yolo(img, img_size=416).numpy()[0]
+    np.testing.assert_allclose(ours.transpose(2, 0, 1), ref, atol=1e-6)
