@@ -43,6 +43,14 @@ class ConvTransformerSpec:
     def num_outputs(self) -> int:
         return 1 + self.arch[2]
 
+    def win_size(self, level: int) -> int:
+        """Attention window for a pyramid level (-1 = global).  The SINGLE
+        source of the level->window mapping — forward and init must agree
+        or local-attention params (rel_pe, window tables) mismatch."""
+        if not self.mha_win_size:
+            return -1
+        return self.mha_win_size[min(level, len(self.mha_win_size) - 1)]
+
 
 def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
                              spec: ConvTransformerSpec,
@@ -105,10 +113,7 @@ def conv_transformer_forward(ctx: Ctx, x: jnp.ndarray,
         # traffic of the intended bf16 activation path
         tokens = (tokens + pe[:, :t].transpose(0, 2, 1)).astype(x.dtype)
 
-    def _win(level):
-        if not spec.mha_win_size:
-            return -1
-        return spec.mha_win_size[min(level, len(spec.mha_win_size) - 1)]
+    _win = spec.win_size
 
     for i in range(spec.arch[1]):
         tokens = blocks.transformer_block_ct(
@@ -149,10 +154,7 @@ def init_conv_transformer(key, spec: ConvTransformerSpec):
             params[f"embd.{i}.bias"] = jnp.zeros((spec.n_embd,))
         if spec.with_ln:
             blocks._add_ln(params, f"embd_norm.{i}", spec.n_embd)
-    def _win(level):
-        if not spec.mha_win_size:
-            return -1
-        return spec.mha_win_size[min(level, len(spec.mha_win_size) - 1)]
+    _win = spec.win_size
 
     for i in range(spec.arch[1]):
         if _win(0) > 1:

@@ -217,8 +217,14 @@ def _transition_multi(ctx: Ctx, ys: List[jnp.ndarray], prev_ch: Sequence[int],
         if i < len(prev_ch) and cur_ch[i] == prev_ch[i]:
             out.append(ys[i])
         elif i < len(prev_ch):
+            # channel-changing transition on an EXISTING branch: consume
+            # ys[i].  The reference feeds ys[-1] here too (HRNet.py:134-147)
+            # but that is resolution-inconsistent and its init channels
+            # don't match either — the path is unrunnable upstream (only
+            # BOTTLENECK stages exercise it); rebuilt fixed, see
+            # tests/test_hrnet.py::test_bottleneck_stage_runs_...
             sub = ctx.sub(f"{stage_name}.{i}")
-            out.append(relu(sub.batch_norm("1", sub.conv2d("0", ys[-1], padding=1, bias=False))))
+            out.append(relu(sub.batch_norm("1", sub.conv2d("0", ys[i], padding=1, bias=False))))
         else:
             x = ys[-1]
             for k in range(i + 1 - len(prev_ch)):
@@ -274,7 +280,14 @@ def _init_stage(params, state, kg, name: str, spec: StageSpec, multi_scale_last:
         for b in range(spec.num_branches):
             ch = spec.num_channels[b]
             for blk in range(spec.num_blocks[b]):
-                _init_basic_block(params, state, kg, f"{name}.{m}.branches.{b}.{blk}", ch, ch)
+                prefix = f"{name}.{m}.branches.{b}.{blk}"
+                if spec.block == "BOTTLENECK":
+                    # num_channels is post-expansion (from_cfg multiplied by
+                    # 4), so planes = ch // 4 (ref: HRNet.py blocks_dict +
+                    # _make_one_branch expansion math)
+                    _init_bottleneck(params, state, kg, prefix, ch, ch // 4)
+                else:
+                    _init_basic_block(params, state, kg, prefix, ch, ch)
         last = m == spec.num_modules - 1
         num_out = spec.num_branches if (multi_scale_last or not last) else 1
         if spec.num_branches > 1:
@@ -296,7 +309,10 @@ def _init_transition(params, state, kg, name, prev_ch, cur_ch):
     for i in range(len(cur_ch)):
         if i < len(prev_ch):
             if cur_ch[i] != prev_ch[i]:
-                _add_conv(params, kg, f"{name}.{i}.0", 3, 3, prev_ch[i], cur_ch[i])
+                # existing-branch transition reads ys[i] (rebuilt fixed —
+                # see _transition_multi; unrunnable upstream)
+                _add_conv(params, kg, f"{name}.{i}.0", 3, 3, prev_ch[i],
+                          cur_ch[i])
                 _add_bn(params, state, f"{name}.{i}.1", cur_ch[i])
         else:
             for k in range(i + 1 - len(prev_ch)):

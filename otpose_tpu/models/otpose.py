@@ -34,6 +34,15 @@ from otpose_tpu.ops.deform_conv import (identity_filler_weight,
                                          modulated_deform_conv_multi)
 
 
+def _check_aggregation(kind: str) -> str:
+    if kind != "weighted_sum":
+        raise ValueError(
+            f"DEFORMABLE_CONV.AGGREGATION_TYPE={kind!r} is not implemented: "
+            "the reference model only defines its output under "
+            "'weighted_sum' (ref: model/OTPose.py:387-394)")
+    return kind
+
+
 @dataclasses.dataclass(frozen=True)
 class OTPoseSpec:
     hrnet: HRNetSpec
@@ -87,7 +96,12 @@ class OTPoseSpec:
             dilations=tuple(cfg.MODEL.DEFORMABLE_CONV.DILATION),
             def_ch=cfg.MODEL.DEFORMABLE_CONV_CH,
             offset_mask_combine_blocks=cfg.MODEL.OFFSET_MASK_COMBINE_CONV,
-            aggregation_type=cfg.MODEL.DEFORMABLE_CONV.AGGREGATION_TYPE,
+            # the reference only defines the output under 'weighted_sum'
+            # (its forward hits an UnboundLocalError otherwise, ref:
+            # OTPose.py:387-394); reject loudly rather than silently
+            # running a different aggregation
+            aggregation_type=_check_aggregation(
+                cfg.MODEL.DEFORMABLE_CONV.AGGREGATION_TYPE),
             freeze_hrnet=cfg.MODEL.FREEZE_HRNET_WEIGHTS,
             scale_arch=scale_arch,
             flow_scale_arch=flow_arch,

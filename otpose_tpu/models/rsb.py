@@ -17,8 +17,12 @@ from otpose_tpu.models.core import Ctx, KeyGen, relu
 
 def _conv_bn_relu(ctx: Ctx, name: str, x: jnp.ndarray, *, kernel: int, padding: int,
                   has_relu: bool = True) -> jnp.ndarray:
-    """conv (with bias) + BN [+ relu] (ref: model/RSB.py:106-139)."""
+    """conv (with bias) + BN [+ relu] (ref: model/RSB.py:106-139).
+    ``kernel`` documents intent at the call site; the conv geometry itself
+    comes from the stored weight — assert they agree so an edit to one
+    can't silently diverge from the other."""
     sub = ctx.sub(name)
+    assert sub.param("conv.weight").shape[0] == kernel, name
     y = sub.conv2d("conv", x, padding=padding)
     y = sub.batch_norm("bn", y)
     return relu(y) if has_relu else y

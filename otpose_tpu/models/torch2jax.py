@@ -49,7 +49,14 @@ def convert_state_dict(sd: Dict[str, "np.ndarray"]) -> Tuple[Dict[str, np.ndarra
         if arr.ndim == 4:
             arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
         elif arr.ndim == 3:
-            if arr.shape[0] == 1 and arr.shape[2] == 1:
+            # (1, C, 1) channel-LayerNorm / AffineDropPath scale params
+            # flatten to (C,); gate on the NAME as well as the shape — a
+            # genuine conv1d with out=1, k=1 has the same shape and must
+            # take the (O, I, K) -> (K, I, O) branch instead (none exist in
+            # OTPose itself; the guard protects downstream checkpoints)
+            is_channel_param = name.endswith((".weight", ".bias", ".scale")) \
+                and any(t in name for t in ("ln", "norm", "drop_path", "scale"))
+            if arr.shape[0] == 1 and arr.shape[2] == 1 and is_channel_param:
                 arr = arr.reshape(-1)               # (1, C, 1) LN/scale -> (C,)
             else:
                 arr = np.transpose(arr, (2, 1, 0))  # conv1d (O, I, K) -> (K, I, O)

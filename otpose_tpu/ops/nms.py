@@ -101,5 +101,10 @@ def nms_1d_device(segs: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         return jnp.where(active, keep & ~suppress, keep)
 
     keep_sorted = jax.lax.fori_loop(0, n, body, jnp.ones(n, dtype=bool))
+    if max_keep:
+        # cap survivors at the max_keep HIGHEST-SCORING kept segments —
+        # keep_sorted is in descending-score order, so a cumulative count
+        # masks everything past the cap (static shapes preserved)
+        keep_sorted &= jnp.cumsum(keep_sorted) <= max_keep
     keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
     return keep

@@ -96,3 +96,34 @@ def test_batchnorm_matches_torch_train_and_eval():
                                y_t.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_mean), bn.running_mean.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(new_var), bn.running_var.numpy(), atol=1e-5)
+
+
+def test_bottleneck_stage_runs_where_reference_crashes():
+    """BLOCK=BOTTLENECK stage configs: the reference's blocks_dict advertises
+    support but its transition-layer channel math ignores the x4 expansion,
+    so the torch forward CRASHES (channel mismatch at the stage input) — a
+    latent upstream bug.  Ours is rebuilt fixed: HRNetSpec.from_cfg carries
+    post-expansion channels consistently through branches, transitions, and
+    fuse layers, so init emits the conv1/conv2/conv3 bottleneck keys and the
+    forward runs end-to-end."""
+    torch = pytest.importorskip("torch")
+    ref_hrnet = import_reference_module("model.HRNet")
+
+    cfg = _small_cfg()
+    cfg.MODEL.EXTRA.STAGE2.BLOCK = "BOTTLENECK"
+
+    # document the upstream crash this config triggers in the reference
+    torch.manual_seed(0)
+    model = ref_hrnet.HRNet(cfg)
+    model.eval()
+    with torch.no_grad(), pytest.raises(RuntimeError, match="channels"):
+        model(torch.zeros(1, 3, 64, 64))
+
+    spec = HRNetSpec.from_cfg(cfg)
+    params, state = init_hrnet(jax.random.PRNGKey(0), spec)
+    assert any(k.startswith("stage2.") and k.endswith("conv3.weight")
+               for k in params)
+    ctx = Ctx(params, state, train=False)
+    y = hrnet_forward(ctx, jnp.zeros((2, 64, 64, 3)), spec)
+    assert y.shape == (2, 16, 16, 5)
+    assert np.isfinite(np.asarray(y)).all()

@@ -85,3 +85,20 @@ def test_json_roundtrip(tmp_path):
     p = str(tmp_path / "x.json")
     write_json_to_file({"a": [1, 2]}, p)
     assert read_json_from_file(p) == {"a": [1, 2]}
+
+
+def test_nms_1d_device_max_keep_caps_survivors():
+    """max_keep must bound the keep mask to the top-scoring survivors (it
+    used to be accepted and silently ignored)."""
+    rng = np.random.RandomState(0)
+    starts = rng.uniform(0, 100, 40).astype(np.float32)
+    segs = np.stack([starts, starts + rng.uniform(1, 5, 40).astype(np.float32)],
+                    axis=1)
+    scores = rng.rand(40).astype(np.float32)
+    full = np.asarray(nms_1d_device(segs, scores, 0.3))
+    capped = np.asarray(nms_1d_device(segs, scores, 0.3, max_keep=3))
+    assert full.sum() > 3 >= capped.sum() == 3
+    # the capped set is the top-3 SCORING survivors of the uncapped set
+    kept_scores = sorted(scores[full], reverse=True)[:3]
+    assert sorted(scores[capped], reverse=True) == kept_scores
+    assert not np.any(capped & ~full)
