@@ -179,17 +179,16 @@ def test_msra_prefix_strip_through_eval_load(small_ingestion, tmp_path):
           for k, v in ref.state_dict().items()}
     torch.save({"state_dict": sd}, pth)
 
-    # without MSRA: nothing matches (prefix keeps every key unknown)
+    # without MSRA the prefix keeps every key unknown — and a 0-tensor
+    # match is now a loud error (evaluating random init silently reports
+    # garbage mAP), not a warning
     ev.pe_name = "OTPOSE"
-    params_plain, _ = ev._load(pth)
+    with pytest.raises(ValueError, match="matched 0"):
+        ev._load(pth)
     # with MSRA: full load
     ev.pe_name = "MSRA"
     params, _ = ev._load(pth)
     exp_params, _ = convert_state_dict(ref.state_dict())
-    changed = sum(
-        not np.array_equal(np.asarray(params[k]), np.asarray(params_plain[k]))
-        for k in exp_params)
-    assert changed > 0
     for k in exp_params:
         np.testing.assert_array_equal(np.asarray(params[k]),
                                       np.asarray(exp_params[k]), err_msg=k)
