@@ -316,7 +316,7 @@ def _iou_plus1(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     return inter / (a1 + a2 - inter + 1e-16)
 
 
-def non_max_suppression(dets: np.ndarray, conf_thres: float = 0.8,
+def non_max_suppression(dets: np.ndarray, conf_thres: float = 0.5,
                         nms_thres: float = 0.4) -> np.ndarray:
     """Greedy NMS with confidence-weighted box merging on (N, 85) decoded
     detections (ref: detector_utils.py:253-292).  Returns (M, 7)
@@ -353,7 +353,7 @@ class YoloV3Detector:
     """Person-box detector (ref: detector_yolov3.py:17-98)."""
 
     def __init__(self, weights_path: Optional[str] = None, img_size: int = 416,
-                 conf_thres: float = 0.8, nms_thres: float = 0.4,
+                 conf_thres: float = 0.4, nms_thres: float = 0.4,
                  variant: str = "yolov3"):
         self.img_size = img_size
         self.conf_thres = conf_thres

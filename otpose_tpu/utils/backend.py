@@ -40,10 +40,18 @@ def axon_relay_alive(port: int | None = None, timeout: float = 0.5) -> bool:
 
 
 def _axon_requested() -> bool:
-    platforms = os.environ.get("JAX_PLATFORMS", "")
-    if platforms:
-        return "axon" in platforms.split(",")
-    # unset JAX_PLATFORMS with the axon plugin installed auto-selects it
+    platforms = [p.strip()
+                 for p in os.environ.get("JAX_PLATFORMS", "").split(",")
+                 if p.strip()]
+    if "axon" in platforms:
+        return True
+    if platforms == ["cpu"]:
+        # explicit cpu-only request: ensure_live_backend pins it through
+        # jax.config (the plugin ignores the env var); no relay involved
+        return False
+    # ANY other value (unset, "tpu", typos, ...) with the plugin installed
+    # still selects axon — the plugin ignores JAX_PLATFORMS entirely
+    # (CLAUDE.md) — so the relay probe must run or a dead relay hangs init
     return bool(os.environ.get("PALLAS_AXON_TPU_GEN"))
 
 
@@ -82,9 +90,9 @@ def ensure_live_backend(verbose: bool = True) -> str:
     """
     if not _axon_requested():
         platforms = os.environ.get("JAX_PLATFORMS", "cpu") or "cpu"
-        if platforms == "cpu" and os.environ.get("PALLAS_AXON_TPU_GEN"):
-            # the axon plugin ignores the JAX_PLATFORMS env var entirely; an
-            # explicit cpu request must be pinned through jax.config to stick
+        if os.environ.get("PALLAS_AXON_TPU_GEN"):
+            # the axon plugin ignores the JAX_PLATFORMS env var entirely; a
+            # non-axon request must be pinned through jax.config to stick
             import jax
 
             jax.config.update("jax_platforms", "cpu")

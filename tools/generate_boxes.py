@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--img_dir", required=True)
     ap.add_argument("--weights", default="", help="darknet yolov3.weights")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--conf_thres", type=float, default=0.8)
+    ap.add_argument("--conf_thres", type=float, default=0.4)  # reference default (detector_yolov3.py:21)
     ap.add_argument("--nms_thres", type=float, default=0.4)
     ap.add_argument("--split", default="posetrack_val.json")
     ap.add_argument("--variant", default="yolov3",
@@ -58,8 +58,12 @@ def main():
                 "bbox": [x, y, w, h],
                 "score": score,
                 "category_id": 1,
-                "nframes": im.get("nframes", 0),
-                "frame_id": im.get("frame_id", 0),
+                # hard-index: a json without these fields would write a
+                # boxes file whose nframes=0 silently degenerates every
+                # temporal window downstream (the GT loader KeyErrors on
+                # the same condition)
+                "nframes": im["nframes"],
+                "frame_id": im["frame_id"],
             })
         if i % 100 == 0:
             print(f"{i}/{len(coco.imgs)} images, {len(out)} boxes")
