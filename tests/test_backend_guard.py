@@ -96,3 +96,21 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_axon_requested_ignores_non_cpu_platform_values(monkeypatch):
+    """The axon plugin ignores JAX_PLATFORMS entirely, so with the plugin
+    installed ANY value except an explicit cpu-only request must still
+    trigger the relay probe — 'JAX_PLATFORMS=tpu' on a dead relay used to
+    skip both the probe and the cpu pin and hang backend init forever."""
+    monkeypatch.setenv("PALLAS_AXON_TPU_GEN", "1")
+    for value in ("tpu", "cpu,tpu", " axon", "nonsense"):
+        monkeypatch.setenv("JAX_PLATFORMS", value)
+        assert backend._axon_requested(), value
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert not backend._axon_requested()
+    monkeypatch.delenv("JAX_PLATFORMS")
+    assert backend._axon_requested()
+    monkeypatch.delenv("PALLAS_AXON_TPU_GEN")
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    assert not backend._axon_requested()  # no plugin installed
