@@ -9,6 +9,7 @@ checkpoints from the reference load transparently (weights only).
 
 from __future__ import annotations
 
+import math
 import os
 import os.path as osp
 import re
@@ -128,9 +129,13 @@ def _parse_best(name: str) -> Optional[float]:
         # float() rather than a decimal regex: a tiny early-training mAP
         # reprs in scientific notation ("best_mAP_3.2e-05_state"), and a
         # best dir that stops parsing is never compared against or deleted
-        return float(m.group(1))
+        v = float(m.group(1))
     except ValueError:
         return None
+    # a best_mAP_nan_state dir would make every "mAP > best" comparison
+    # false forever and never be replaced — treat non-finite like unparsable
+    # (ADVICE r4)
+    return v if math.isfinite(v) else None
 
 
 def get_latest_checkpoint(folder: str) -> Optional[str]:

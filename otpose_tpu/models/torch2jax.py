@@ -53,9 +53,15 @@ def convert_state_dict(sd: Dict[str, "np.ndarray"]) -> Tuple[Dict[str, np.ndarra
             # flatten to (C,); gate on the NAME as well as the shape — a
             # genuine conv1d with out=1, k=1 has the same shape and must
             # take the (O, I, K) -> (K, I, O) branch instead (none exist in
-            # OTPose itself; the guard protects downstream checkpoints)
+            # OTPose itself; the guard protects downstream checkpoints).
+            # Tokens are matched against the OWNING MODULE component only
+            # (ln1/ln2/embd_norm/drop_path_attn/... in the reference) — a
+            # substring match over the full dotted path would misroute a
+            # real out=1,k=1 conv living anywhere under e.g. a "scale_head"
+            # branch (ADVICE r4).
+            owner = name.split(".")[-2] if "." in name else ""
             is_channel_param = name.endswith((".weight", ".bias", ".scale")) \
-                and any(t in name for t in ("ln", "norm", "drop_path", "scale"))
+                and any(t in owner for t in ("ln", "norm", "drop_path", "scale"))
             if arr.shape[0] == 1 and arr.shape[2] == 1 and is_channel_param:
                 arr = arr.reshape(-1)               # (1, C, 1) LN/scale -> (C,)
             else:

@@ -250,3 +250,27 @@ def test_flagship_pth_loads_fully_through_eval_load(tmp_path):
                   if not np.array_equal(np.asarray(params[k]),
                                         np.asarray(exp_params[k]))]
     assert not mismatched, mismatched[:10]
+
+
+def test_convert_state_dict_channel_param_gate_is_owner_scoped():
+    """The (1,C,1)->(C,) flatten must key on the OWNING module component
+    (ln1/embd_norm/drop_path_*/scale), not a substring of the full dotted
+    path: a genuine out=1,k=1 conv1d under a 'scale_head' branch shares the
+    shape and must take the (O,I,K)->(K,I,O) transpose (ADVICE r4)."""
+    from otpose_tpu.models.torch2jax import convert_state_dict
+
+    sd = {
+        "temporal_encoder1.blocks.0.ln1.weight": np.arange(4.0).reshape(1, 4, 1),
+        "temporal_encoder1.blocks.0.drop_path_attn.scale": np.full((1, 4, 1), 0.5),
+        "flow_encoder.embd_norm.bias": np.zeros((1, 4, 1)),
+        # adversarial: module path contains 'scale' but the param is a conv
+        "scale_head.proj.weight": np.arange(4.0).reshape(1, 4, 1),
+    }
+    params, state = convert_state_dict(sd)
+    assert params["temporal_encoder1.blocks.0.ln1.weight"].shape == (4,)
+    assert params["temporal_encoder1.blocks.0.drop_path_attn.scale"].shape == (4,)
+    assert params["flow_encoder.embd_norm.bias"].shape == (4,)
+    # conv1d (O=1, I=4, K=1) -> (K=1, I=4, O=1), NOT flattened
+    conv = params["scale_head.proj.weight"]
+    assert conv.shape == (1, 4, 1)
+    np.testing.assert_array_equal(conv[0, :, 0], np.arange(4.0))

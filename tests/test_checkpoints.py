@@ -166,6 +166,11 @@ def test_parse_best_scientific_notation(tmp_path, ts):
     assert _parse_best("best_mAP_61.5_state") == pytest.approx(61.5)
     assert _parse_best("epoch_3_state") is None
     assert _parse_best("best_mAP_notafloat_state") is None
+    # non-finite parses would make every "mAP > best" comparison false
+    # forever and the stale dir immortal — rejected like unparsable names
+    assert _parse_best("best_mAP_nan_state") is None
+    assert _parse_best("best_mAP_inf_state") is None
+    assert _parse_best("best_mAP_-inf_state") is None
     folder = str(tmp_path / "ck_sci")
     assert ckpt.save_best_checkpoint(folder, ts, 3.2e-05)
     assert ckpt.save_best_checkpoint(folder, ts, 50.0)
