@@ -30,7 +30,11 @@ CPU-backend fallback 3600 s — a cold flagship CPU compile+measure is tens
 of minutes); an explicit BENCH_WATCHDOG_SECS always wins.  The pre-flight
 is a tiny jitted fetch in-process *before* the flagship compile, so a
 wedged chip/tunnel dies at the short deadline with a named phase instead
-of burning the whole budget.  A wedged chip cannot be "downgraded"
+of burning the whole budget.  Once the flagship is compiled, a 4-iter
+provisional burst records a live measurement into the watchdog — a
+deadline fire after that point emits the REAL line with the provisional
+value (annotated via ``note``) instead of a value:null diagnostic, so a
+slow-axon day still produces a live number (VERDICT r4 task 1).  A wedged chip cannot be "downgraded"
 mid-process (backend init is process-global), so the diagnostic line IS
 the fallback artifact; a *dead relay* (port closed) still downgrades to
 the CPU-tagged path before JAX initializes, as before.  The measured value
@@ -61,7 +65,33 @@ _WATCHDOG = {
     "last_cache": None,    # per-metric last-onchip cache path (set in main)
     "phase_log": [],       # [(name, t_enter)] for per-phase timings
     "done": False,
+    # set after the first short measured burst: {"value", "iters"}.  A
+    # watchdog fire AFTER this point emits the real-shaped JSON line with
+    # the provisional value (a live number) instead of a value:null
+    # diagnostic (VERDICT r4 task 1).
+    "provisional": None,
+    "baseline_clips": None,  # cached denominator, stashed pre-measure
+    "lock": threading.Lock(),
 }
+
+
+def _emit(line: dict) -> None:
+    """Print THE one JSON line.  Serialize first, flip ``printed`` under the
+    lock, then write in a single ``os.write`` — so a mid-print watchdog fire
+    can never produce a second line, and a failed/blocked stdout leaves a
+    distinct stderr diagnostic instead of a silent exit (ADVICE r4)."""
+    data = (json.dumps(line) + "\n").encode()
+    with _WATCHDOG["lock"]:
+        if _WATCHDOG["printed"]:
+            return
+        _WATCHDOG["printed"] = True
+    try:
+        os.write(1, data)
+    except Exception:
+        try:
+            os.write(2, b"bench: result line write to stdout FAILED\n")
+        except Exception:
+            pass
 # Default global deadline: 560 s.  Evidence for the driver's budget: in
 # round 3 the driver recorded our watchdog line emitted at t=482 s (rc=0),
 # so it waits >482 s; its multichip check dies rc=124 consistent with a
@@ -110,26 +140,45 @@ def _watchdog_loop() -> None:
             return
         if elapsed > _WATCHDOG["deadline"] or (phase_dl and now > phase_dl):
             if not _WATCHDOG["printed"]:
-                line = {
-                    "metric": _WATCHDOG["metric"],
-                    "value": None,
-                    "unit": "clips/sec",
-                    "vs_baseline": None,
-                    "error": "timeout at %s after %.0fs" % (
-                        _WATCHDOG["phase"], elapsed),
-                    "phases": _phase_durations(),
-                }
-                try:
-                    line["last_onchip"] = json.load(
-                        open(_WATCHDOG["last_cache"]))
-                except Exception:
-                    pass
-                print(json.dumps(line), flush=True)
+                _emit(_deadline_line(elapsed))
             # hard exit: a hung backend thread cannot be joined; rc 0 so the
             # driver records the diagnostic line rather than a bare timeout.
             # If the real line is already printed (post-print baseline
             # refresh hung), exit silently — never emit a second JSON line.
             os._exit(0)
+
+
+def _deadline_line(elapsed: float) -> dict:
+    """The ONE line for a deadline fire.  With a completed provisional burst
+    it is the REAL result (live value, annotated); otherwise the value:null
+    diagnostic carrying the last on-chip reading (VERDICT r4 task 1)."""
+    prov = _WATCHDOG["provisional"]
+    if prov is not None:
+        base = _WATCHDOG["baseline_clips"]
+        return {
+            "metric": _WATCHDOG["metric"],
+            "value": round(prov["value"], 3),
+            "unit": "clips/sec",
+            "vs_baseline": (round(prov["value"] / (5 * base), 3)
+                            if base else None),
+            "note": "provisional after %d iters; watchdog fired at %s "
+                    "after %.0fs" % (prov["iters"], _WATCHDOG["phase"],
+                                     elapsed),
+            "phases": _phase_durations(),
+        }
+    line = {
+        "metric": _WATCHDOG["metric"],
+        "value": None,
+        "unit": "clips/sec",
+        "vs_baseline": None,
+        "error": "timeout at %s after %.0fs" % (_WATCHDOG["phase"], elapsed),
+        "phases": _phase_durations(),
+    }
+    try:
+        line["last_onchip"] = json.load(open(_WATCHDOG["last_cache"]))
+    except Exception:
+        pass
+    return line
 
 
 def _start_watchdog(metric: str, global_deadline: float) -> None:
@@ -170,12 +219,27 @@ def _build(compute_dtype):
     from otpose_tpu.models.otpose import prepare_eval_params
 
     spec = OTPoseSpec.from_cfg(flagship_otpose_cfg())
-    params, state = init_otpose(jax.random.PRNGKey(0), spec)
+
     # eval fast path: bf16 conv/dense weights, prepared once outside the
-    # step (models/otpose.py::prepare_eval_params)
-    params = prepare_eval_params(
-        params,
-        param_dtype=compute_dtype if compute_dtype != jnp.float32 else None)
+    # step (models/otpose.py::prepare_eval_params).  Build EVERYTHING on the
+    # host CPU backend and ship one ~130 MB batched transfer: compiling the
+    # init/cast programs on the TPU paid a ~340 s cold compile under
+    # drift-prone axon cache keys (r5 phase receipt, STATUS.md), while the
+    # CPU compile is local and persistently cached.
+    pdt = compute_dtype if compute_dtype != jnp.float32 else None
+    dev = jax.local_devices()[0]
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    if cpu is not None and dev.platform != "cpu":
+        with jax.default_device(cpu):
+            params, state = init_otpose(jax.random.PRNGKey(0), spec)
+            params = prepare_eval_params(params, param_dtype=pdt)
+        params, state = jax.device_put((params, state), dev)
+    else:
+        params, state = init_otpose(jax.random.PRNGKey(0), spec)
+        params = prepare_eval_params(params, param_dtype=pdt)
 
     def f(params, state, x, margin):
         ctx = Ctx(params, state, train=False, compute_dtype=compute_dtype)
@@ -195,6 +259,10 @@ def _measure(batch: int, iters: int, compute_dtype) -> float:
     import jax
     import jax.numpy as jnp
 
+    # fine-grained phases: the warm-cache "compile + measure" still ran
+    # ~137 s in round 4 and the buckets below say where such time goes in
+    # any future diagnostic line (VERDICT r4 task 1)
+    _set_phase("flagship build (param init)")
     fn, params, state = _build(compute_dtype)
     x = jnp.asarray(np.random.RandomState(0).randn(batch, 384, 288, 15),
                     jnp.float32)
@@ -205,18 +273,36 @@ def _measure(batch: int, iters: int, compute_dtype) -> float:
         # the last output fences everything before it
         return float(np.asarray(out[:1, :1, :1, :1]).ravel()[0])
 
+    _set_phase("flagship compile")
     fetch(fn(params, state, x, margin))  # compile
     fetch(fn(params, state, x, margin))  # warm
 
-    rtt_probe = jax.jit(lambda x: x[:1, :1, :1, :1] * 1.0)
-    # warm the probe OUTSIDE the timed loop: its first call pays a jit
-    # compile (hundreds of ms over the tunnel) which would inflate the rtt
-    # estimate and therefore the reported clips/sec
-    float(np.asarray(rtt_probe(x)).ravel()[0])
+    # provisional liveness burst: 4 measured iters recorded into the
+    # watchdog BEFORE the RTT probe + full burst, so a late deadline fire
+    # still carries a live number.  No RTT subtraction here — the estimate
+    # is conservatively LOW (honest) by one tunnel round-trip over ~4 steps.
+    _set_phase("measure (provisional burst)")
+    t0 = time.perf_counter()
+    outs = [fn(params, state, x, margin) for _ in range(4)]
+    fetch(outs[-1])
+    _WATCHDOG["provisional"] = {
+        "value": batch * 4 / max(time.perf_counter() - t0, 1e-6), "iters": 4}
+
+    _set_phase("measure (full burst)")
+    # RTT probe: reuse the ALREADY-COMPILED preflight scalar program (set in
+    # main) rather than jitting a fresh one here — a new compile after the
+    # flagship cost 200 s on a congested-tunnel day (r5 phase receipt) and
+    # the probe only needs a round-trip of negligible compute.  Probe warmth
+    # comes from the preflight itself (round-4 fix: a cold first timed call
+    # would inflate the subtracted RTT and the reported clips/sec).
+    rtt_probe = _WATCHDOG.get("rtt_probe") or (
+        lambda: float(np.asarray(jax.jit(lambda a: a + 1.0)(
+            jnp.float32(1.0)))))
+    rtt_probe()  # warm (no-op when the preflight already ran it)
     rtt = 0.0
     for _ in range(3):
         s = time.perf_counter()
-        float(np.asarray(rtt_probe(x)).ravel()[0])
+        rtt_probe()
         rtt += (time.perf_counter() - s) / 3
 
     t0 = time.perf_counter()
@@ -354,6 +440,15 @@ def _measure_train_e2e(batch: int, iters: int) -> float:
                                       "target_weight")},
                                 jax.random.fold_in(rng, done))
                 done += 1
+                if done % 8 == 0:
+                    # fence + provisional update so a watchdog fire mid-run
+                    # still carries a live e2e number (one scalar fetch per
+                    # 8 steps ~ negligible vs the 300+ ms steps)
+                    fence(ts)
+                    _WATCHDOG["provisional"] = {
+                        "value": batch * done /
+                        max(time.perf_counter() - t0, 1e-6),
+                        "iters": done}
                 if done >= iters:
                     break
         fence(ts)
@@ -429,7 +524,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    float(np.asarray(jax.jit(lambda a: a + 1.0)(jnp.float32(1.0))))
+    _preflight_fn = jax.jit(lambda a: a + 1.0)
+    float(np.asarray(_preflight_fn(jnp.float32(1.0))))
+    # keep the compiled scalar program around as the measure-phase RTT probe
+    # (compiling a fresh probe after the flagship cost 200 s on a congested
+    # tunnel — r5 receipt)
+    _WATCHDOG["rtt_probe"] = (
+        lambda: float(np.asarray(_preflight_fn(jnp.float32(1.0)))))
     backend = jax.default_backend()
     _WATCHDOG["metric"] = f"{metric_base}[{backend}]"
     if backend != "tpu":
@@ -441,40 +542,36 @@ def main():
         _set_phase("train e2e compile + measure")
         value = _measure_train_e2e(int(os.environ.get("BENCH_BATCH", "8")),
                                    int(os.environ.get("BENCH_ITERS", "24")))
-        # mark printed BEFORE printing: the watchdog checks the flag from
-        # its own thread, and a deadline firing mid-print must never emit a
-        # second JSON line (worst case under the flipped order is a missing
-        # line on a sub-ms race, vs a driver-breaking double line)
-        _WATCHDOG["printed"] = True
-        print(json.dumps({
+        # _emit serializes with the watchdog thread: one line, ever
+        _emit({
             "metric": f"{metric_base}[{backend}]",
             "value": round(value, 3),
             "unit": "clips/sec",
             "vs_baseline": None,
             "phases": _phase_durations(),
-        }), flush=True)
+        })
         if backend == "tpu":
             _write_last_onchip(last_cache, f"{metric_base}[{backend}]", value)
         _WATCHDOG["done"] = True
         return
 
-    _set_phase("flagship compile + measure")
-    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
-    value = _measure(BATCH, ITERS, dtype)
-
-    # print the measured value IMMEDIATELY — vs_baseline from caches only.
-    # printed is flipped BEFORE the print (see train mode): a watchdog
-    # deadline firing mid-print must never produce a second JSON line.
+    # stash the cached denominator BEFORE measuring so a provisional line
+    # emitted by the watchdog carries vs_baseline too (instant file read)
     baseline_clips = _cached_baseline_clips()
+    _WATCHDOG["baseline_clips"] = baseline_clips
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    value = _measure(BATCH, ITERS, dtype)  # sets its own fine-grained phases
+
+    # emit the measured value IMMEDIATELY — vs_baseline from caches only;
+    # _emit serializes with the watchdog thread (one line, ever)
     vs_baseline = value / (5 * baseline_clips) if baseline_clips else None
-    _WATCHDOG["printed"] = True
-    print(json.dumps({
+    _emit({
         "metric": f"{metric_base}[{backend}]",
         "value": round(value, 3),
         "unit": "clips/sec",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "phases": _phase_durations(),
-    }), flush=True)
+    })
 
     if backend == "tpu":
         _write_last_onchip(last_cache, f"{metric_base}[{backend}]", value)

@@ -18,6 +18,7 @@ Returns the reference 7-tuple. Heatmap tensors are NHWC throughout.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -296,9 +297,10 @@ def prepare_eval_params(params, *, param_dtype=None):
     """
     if param_dtype is None:
         return params
-    return {k: v.astype(param_dtype)
-            if v.ndim >= 2 and v.dtype == jnp.float32 else v
-            for k, v in params.items()}
+    # one jitted program: eager per-param casts dispatch ~800 tiny
+    # individually-compiled ops — seconds of per-op compile+RTT over the
+    # axon tunnel (bench r5 phase receipt), vs one cached program
+    return _prepare_eval_params_jit(dict(params), np.dtype(param_dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +310,32 @@ def prepare_eval_params(params, *, param_dtype=None):
 def init_otpose(key, spec: OTPoseSpec):
     """Fresh params/state with the reference init (ref: OTPose.py:431-475):
     conv2d normal std=0.001 / bias 0, BN 1/0, deform-conv weights identity
-    filler, conv1d torch-default with zero bias."""
+    filler, conv1d torch-default with zero bias.
+
+    Jitted as ONE program ON THE HOST CPU BACKEND, then shipped to the
+    default device in one batched transfer.  Rationale (r5 receipts,
+    STATUS.md): the eager op-by-op init dispatches ~900 tiny ops that each
+    compile separately — ~150 s over the axon tunnel — and compiling the
+    single init program on the TPU took ~340 s cold with axon cache keys
+    that can drift between sessions; the CPU compile is local,
+    deterministic, persistently cached, and the one ~250 MB transfer is
+    seconds.  Values match the eager build to float reassociation
+    (~1e-10)."""
+    target = jax.config.jax_default_device
+    if target is None:
+        target = jax.local_devices()[0]
+    if target.platform == "cpu":
+        return _init_otpose_jit(key, spec)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:  # no host CPU backend: compile on the target
+        return _init_otpose_jit(key, spec)
+    with jax.default_device(cpu):
+        params, state = _init_otpose_jit(key, spec)
+    return jax.device_put((params, state), target)
+
+
+def _init_otpose_impl(key, spec: OTPoseSpec):
     kg = KeyGen(key)
     params: dict = {}
     state: dict = {}
@@ -348,6 +375,18 @@ def init_otpose(key, spec: OTPoseSpec):
             identity_filler_weight(j, 3)
         params[f"modulated_deform_conv_list.{d_idx}.deform_conv.bias"] = jnp.zeros((j,))
     return params, state
+
+
+# one wrapper for the process so repeat calls hit the jit trace cache
+# (a fresh jax.jit per call would re-trace every time)
+_init_otpose_jit = jax.jit(_init_otpose_impl, static_argnums=1)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _prepare_eval_params_jit(params, param_dtype):
+    return {k: v.astype(param_dtype)
+            if v.ndim >= 2 and v.dtype == jnp.float32 else v
+            for k, v in params.items()}
 
 
 def make_sine_position_embedding(pe_h: int, pe_w: int, d_model: int,

@@ -70,6 +70,9 @@ def main():
                          "grad: value_and_grad without the optimizer")
     ap.add_argument("--accum", type=int, default=1,
                     help="gradient-accumulation micro-steps (mode=step)")
+    ap.add_argument("--cost", action="store_true",
+                    help="print XLA cost analysis (GFLOP/step, bytes) and "
+                         "the achieved TF/s -> train-step MFU")
     ap.add_argument("--ab-accum", action="store_true",
                     help="same-process interleaved A/B: one batch-2B accum-2 "
                          "step vs two batch-B steps (effective-batch parity)")
@@ -223,6 +226,20 @@ def main():
     print(f"mode={args.mode} batch={b} remat={not args.no_remat} "
           f"dtype={dt.__name__}: {dt_s * 1e3:.1f} ms/step = "
           f"{b / dt_s:.2f} train clips/s/chip")
+    if args.cost:
+        # XLA's own FLOP count for the compiled step -> train-step MFU
+        # receipt (VERDICT r4 task 2).  bf16 peak for this chip matches the
+        # eval-path MFU receipt in STATUS.md (197 TF/s v5e-class bf16).
+        ca = step.lower(ts, batch, key).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        tf_s = flops / dt_s / 1e12
+        print(f"cost analysis: {flops / 1e9:.1f} GFLOP/step "
+              f"({flops / b / 1e9:.1f} GFLOP/clip), "
+              f"{bytes_acc / 1e9:.2f} GB accessed; "
+              f"achieved {tf_s:.1f} TF/s = {100 * tf_s / 197:.1f}% of bf16 "
+              f"peak (197 TF/s)")
 
 
 if __name__ == "__main__":
