@@ -144,10 +144,38 @@ def main():
     if not paths:
         print("NO XPLANE CAPTURED under", tmp)
         return
+
+    # per-step budget: Steps-line wall, per-hlo_category op time + XLA's
+    # per-op flops, async DMA reported separately (it OVERLAPS compute —
+    # summing it into the total read 2326 "ms/iter" vs the real 388 in the
+    # round-5 train-step trace)
+    from tools.xplane import device_step_budget
+
+    budget = device_step_budget(paths[0])
+    # sub-ms "steps" are auxiliary dispatches (e.g. the fence's jit_ravel),
+    # not iterations — counting them halves every per-step figure
+    steps = [s for s in budget["steps_ms"] if s > 1.0] or [float("nan")]
+    n = max(len(steps), 1)
+    wall = sum(steps) / n
+    print(f"stage={args.stage} batch={b} iters={args.iters} "
+          f"Steps-line wall {wall:.1f} ms/step over {n} steps "
+          f"(async DMA {budget['async_ms'] / n:.0f} ms/step overlapped)")
+    print(f"{'hlo_category':26s} {'ms/step':>9s} {'GFLOP/step':>11s} "
+          f"{'TF/s':>7s}")
+    for cat, (ms, fl) in sorted(budget["categories"].items(),
+                                key=lambda kv: -kv[1][0]):
+        if ms / n < 0.05:
+            continue
+        print(f"{cat:26s} {ms / n:9.1f} {fl / n / 1e9:11.1f} "
+              f"{(fl / (ms / 1e3) / 1e12) if ms else 0:7.1f}")
+    print(f"XLA-stat flops {budget['flops'] / n / 1e9:.0f} GFLOP/step -> "
+          f"{budget['flops'] / n / (wall / 1e3) / 1e12:.1f} TF/s achieved "
+          f"(vs 197 TF/s bf16 peak)")
+
     agg = parse_xplane(paths[0])
     total = sum(agg.values())
-    print(f"stage={args.stage} batch={b} iters={args.iters} "
-          f"device total {total:.2f} ms ({total / args.iters:.2f} ms/iter)")
+    print(f"top sync ops (device total {total:.2f} ms, "
+          f"{total / args.iters:.2f} ms/iter):")
     for name, ms in agg.most_common(args.top):
         print(f"{ms / args.iters:9.3f} ms  {100 * ms / total:5.1f}%  {name[:140]}")
 

@@ -78,12 +78,49 @@ def _parse_map_entry(buf: bytes) -> Tuple[int, bytes]:
     return key, value
 
 
-def parse_plane(buf: bytes):
-    """-> (name, [(line_name, [(metadata_id, duration_ps)])], {id: op_name})."""
+def _parse_event_metadata_stats(buf: bytes, stat_names: Dict[int, str]):
+    """XEventMetadata.stats (field 5, repeated XStat) -> {stat_name: value}.
+
+    XStat: metadata_id=1, double=2, uint64=3, int64=4, str=5, bytes=6."""
+    out = {}
+    for field, _wt, val in _fields(buf):
+        if field != 5 or not isinstance(val, (bytes, bytearray)):
+            continue
+        sid, sval = None, None
+        for sf, _sw, sv in _fields(val):
+            if sf == 1:
+                sid = sv
+            elif sf in (2, 3, 4):
+                sval = sv
+            elif sf in (5, 6):
+                sval = sv.decode("utf-8", "replace") if sf == 5 else sv
+        nm = stat_names.get(sid)
+        if nm is not None:
+            out[nm] = sval
+    return out
+
+
+def parse_plane(buf: bytes, want_stats: bool = False):
+    """-> (name, [(line_name, [(metadata_id, duration_ps)])], {id: op_name})
+    or, with ``want_stats``, a 4th element {id: {stat_name: value}} holding
+    each op's XEventMetadata stats (hlo_category, flops, ...)."""
     name = ""
     lines = []
     metadata: Dict[int, str] = {}
+    stat_names: Dict[int, str] = {}
+    md_entries = []
+    md_stats: Dict[int, dict] = {}
     for field, _wt, val in _fields(buf):
+        if field == 5:
+            # stat_metadata map entry: value is XStatMetadata (id=1, name=2)
+            _k, entry = _parse_map_entry(val)
+            sid, snm = 0, ""
+            for sf, _sw, sv in _fields(entry):
+                if sf == 1:
+                    sid = sv
+                elif sf == 2:
+                    snm = sv.decode("utf-8", "replace")
+            stat_names[sid] = snm
         if field == 2:
             name = val.decode("utf-8", "replace")
         elif field == 3:
@@ -108,19 +145,31 @@ def parse_plane(buf: bytes):
             _key, entry = _parse_map_entry(val)
             mid, mname = _parse_event_metadata(entry)
             metadata[mid] = mname
+            if want_stats:
+                md_entries.append((mid, entry))
+    if want_stats:
+        # stat_metadata (field 5) may appear after event_metadata in the
+        # wire stream, so resolve names in a second pass
+        for mid, entry in md_entries:
+            md_stats[mid] = _parse_event_metadata_stats(entry, stat_names)
+        return name, lines, metadata, md_stats
     return name, lines, metadata
 
 
-def iter_planes(path: str):
+def iter_planes(path: str, want_stats: bool = False):
     with open(path, "rb") as f:
         buf = f.read()
     for field, _wt, val in _fields(buf):
         if field == 1:
-            yield parse_plane(val)
+            yield parse_plane(val, want_stats=want_stats)
 
 
 def device_op_totals(path: str, merge_lines: bool = True):
-    """Aggregate device-plane op durations (ms) by op name."""
+    """Aggregate device-plane op durations (ms) by op name.
+
+    Only the synchronous "XLA Ops" line counts: "Async XLA Ops" carries
+    DMA copies that OVERLAP compute (summing them quadrupled the round-5
+    train-step total — 2326 "ms/iter" vs the 388 ms Steps line)."""
     agg = collections.Counter()
     for name, lines, metadata in iter_planes(path):
         low = name.lower()
@@ -130,9 +179,42 @@ def device_op_totals(path: str, merge_lines: bool = True):
             continue
         for lname, events in lines:
             # XLA op lines carry the per-op breakdown; "Steps"/module lines
-            # would double-count
-            if "xla op" not in lname.lower() and "ops" not in lname.lower():
+            # would double-count, async lines overlap compute
+            ll = lname.lower()
+            if "async" in ll:
+                continue
+            if "xla op" not in ll and "ops" not in ll:
                 continue
             for mid, dur in events:
                 agg[metadata.get(mid, f"#{mid}")] += dur / 1e9
     return agg
+
+
+def device_step_budget(path: str):
+    """Per-step budget from the device plane: average Steps-line ms, total
+    sync-op ms by hlo_category with XLA's per-op flops, and the overlapped
+    async-copy total (reported separately — it hides under compute)."""
+    out = {"steps_ms": [], "categories": {}, "async_ms": 0.0, "flops": 0.0}
+    for plane in iter_planes(path, want_stats=True):
+        name, lines, metadata, md_stats = plane
+        low = name.lower()
+        if ("tpu" not in low and "gpu" not in low and "device" not in low) \
+                or "host" in low:
+            continue
+        for lname, events in lines:
+            ll = lname.lower()
+            if ll == "steps":
+                out["steps_ms"] += [d / 1e9 for _m, d in events if d > 0]
+            elif "async" in ll and "xla op" in ll:
+                out["async_ms"] += sum(d for _m, d in events) / 1e9
+            elif "xla op" in ll:
+                for mid, dur in events:
+                    st = md_stats.get(mid, {})
+                    cat = st.get("hlo_category") or "uncategorized"
+                    if isinstance(cat, bytes):
+                        cat = cat.decode("utf-8", "replace")
+                    ms, fl = out["categories"].get(cat, (0.0, 0.0))
+                    f = float(st.get("flops") or 0.0)
+                    out["categories"][cat] = (ms + dur / 1e9, fl + f)
+                    out["flops"] += f
+    return out
