@@ -14,13 +14,29 @@ import os.path as osp
 import numpy as np
 
 
+# distinct BGR color per joint for ``joint_markers`` fixtures (17 entries)
+_JOINT_COLORS = [
+    (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0), (255, 0, 255),
+    (0, 255, 255), (128, 0, 0), (0, 128, 0), (0, 0, 128), (128, 128, 0),
+    (128, 0, 128), (0, 128, 128), (255, 128, 0), (128, 255, 0),
+    (0, 128, 255), (255, 0, 128), (64, 192, 255),
+]
+
+
 def make_synthetic_posetrack(root: str, *, num_videos: int = 2,
                              frames_per_video: int = 5, people_per_frame: int = 2,
                              img_w: int = 128, img_h: int = 96,
                              is_2018: bool = False, seed: int = 0,
-                             labeled_every: int = 1):
+                             labeled_every: int = 1,
+                             joint_markers: bool = False):
     """Returns (json_dir, img_dir, annot_dir). Frames are numbered like
-    PT17 (8-digit, 1-based) or PT18 (6-digit, 0-based)."""
+    PT17 (8-digit, 1-based) or PT18 (6-digit, 0-based).
+
+    ``joint_markers=True`` draws a distinct-color dot AT each GT joint so
+    joints are visually localizable — without it the GT joints are random
+    offsets around a plain circle and ~38 AP is the task's oracle ceiling
+    (no model can sharpen its heatmaps on such data; round-5 bf16-parity
+    work).  Default False keeps the historical fixture byte-identical."""
     import cv2
 
     rng = np.random.RandomState(seed)
@@ -53,6 +69,20 @@ def make_synthetic_posetrack(root: str, *, num_videos: int = 2,
                 cy = rng.randint(20, img_h - 20)
                 cv2.circle(img, (cx, cy), 8, (255, 255, 255), -1)
                 people.append((cx, cy))
+            # joint_markers: draw the joints BEFORE writing the image so the
+            # pixels carry them; positions are reused verbatim below so the
+            # GT annotations match the drawn dots exactly
+            pre_joints = None
+            if joint_markers and (f % labeled_every) == 0:
+                pre_joints = []
+                for (cx, cy) in people:
+                    jxy = [(float(np.clip(cx + rng.randn() * 4, 0, img_w - 1)),
+                            float(np.clip(cy + rng.randn() * 4, 0, img_h - 1)))
+                           for _j in range(17)]
+                    pre_joints.append(jxy)
+                    for j, (jx, jy) in enumerate(jxy):
+                        cv2.circle(img, (int(round(jx)), int(round(jy))), 2,
+                                   _JOINT_COLORS[j], -1)
             cv2.imwrite(fname, img)
 
             rel = osp.relpath(fname, img_dir)
@@ -65,12 +95,15 @@ def make_synthetic_posetrack(root: str, *, num_videos: int = 2,
             })
             frame_people = []
             if labeled:
-                for (cx, cy) in people:
+                for pi, (cx, cy) in enumerate(people):
                     kpts = []
                     jxy = []
                     for j in range(17):
-                        jx = float(np.clip(cx + rng.randn() * 4, 0, img_w - 1))
-                        jy = float(np.clip(cy + rng.randn() * 4, 0, img_h - 1))
+                        if pre_joints is not None:
+                            jx, jy = pre_joints[pi][j]
+                        else:
+                            jx = float(np.clip(cx + rng.randn() * 4, 0, img_w - 1))
+                            jy = float(np.clip(cy + rng.randn() * 4, 0, img_h - 1))
                         kpts += [jx, jy, 1]
                         jxy.append((jx, jy))
                     x0 = max(0.0, cx - 20)
