@@ -325,7 +325,11 @@ def init_otpose(key, spec: OTPoseSpec):
     if target is None:
         target = jax.local_devices()[0]
     if target.platform == "cpu":
-        return _init_otpose_jit(key, spec)
+        # CPU-default (tests, dryrun): eager, exactly as before round 5 —
+        # per-op compiles are SHARED across the many distinct tiny test
+        # specs, while a jitted init would pay a fresh whole-program
+        # compile per spec
+        return _init_otpose_impl(key, spec)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except Exception:  # no host CPU backend: compile on the target
